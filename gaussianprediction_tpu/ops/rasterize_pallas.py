@@ -1,0 +1,434 @@
+"""Pallas TPU differentiable tile rasterizer (the production render path).
+
+TPU-native re-design of renderCUDA fwd/bwd from
+diff-gaussian-rasterization-w-depth (reference submodule N1; SURVEY.md §2.2,
+§7.3). Architecture:
+
+- Gaussians are pre-binned into depth-ordered, chunk-ALIGNED per-tile
+  instance segments (ops/binning.py) and packed into one [P, 16] float32
+  SoA row per instance (a contiguous 64-byte row -> clean chunked DMA).
+- The FORWARD kernel runs one program per 16x16 tile. It streams its
+  instance segment from HBM in double-buffered chunks of CHUNK rows,
+  computes the alpha matrix A[CHUNK, 256] on the VPU, turns the sequential
+  front-to-back blend into a chunk-local exclusive cumulative product
+  (log-step Hillis-Steele scan over sublanes) against a carried per-pixel
+  transmittance, and accumulates color/depth via an MXU contraction
+  w^T @ [r,g,b,z]. The CUDA `done` latch at T < 1e-4 is reproduced exactly
+  with a cumulative-or over the in-chunk trigger mask (see proof in
+  ops/rasterize_reference.py + the derivation notes below), and whole
+  chunks stop early once every pixel in the tile is done.
+- The BACKWARD kernel re-streams the same segments front-to-back. Using
+  Q = Σ_j w_j v_j + dT·T_final (precomputed per pixel from forward outputs),
+  the alpha gradient is dα_i = T_i·v_i - (Q - S_i)/(1-α_i) with S_i the
+  running inclusive prefix of w·v — a single sweep, no reverse pass, no
+  atomics: every instance's gradient row is written exactly once by the one
+  tile that owns it (alignment guarantees no cross-tile chunk overlap), and
+  the per-Gaussian reduction happens outside as the VJP of the differentiable
+  jnp gather that packed the instances.
+- CUDA parity notes: alpha is clamped at 0.99 for blending but its gradient
+  is propagated through the *unclamped* expression, exactly as the CUDA
+  backward does; gradients flow only through contributing Gaussians.
+
+The custom_vjp boundary wraps only this binned-blending stage; projection,
+covariance and SH are plain differentiable jnp (ops/projection.py, utils/sh),
+so JAX AD composes the full pixel->parameter gradient chain.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PIX = 256          # pixels per 16x16 tile
+CHUNK = 128        # instances per streamed chunk (sublane dim of the scan)
+NCH = 16           # packed f32 channels per instance (one 64B row)
+T_EPS = 1e-4
+ALPHA_CLAMP = 0.99
+ALPHA_MIN = 1.0 / 255.0
+
+# packed instance channel indices
+C_MX, C_MY, C_CA, C_CB, C_CC, C_OP, C_R, C_G, C_B, C_Z, C_GID, C_VALID = range(12)
+# forward output rows (per tile, [8, 256])
+O_R, O_G, O_B, O_Z, O_T, O_WMAX, O_GID, O_PAD = range(8)
+# backward pixel-grad input rows (per tile, [8, 256])
+D_R, D_G, D_B, D_Z, D_Q, _, _, _ = range(8)
+
+
+def _interpret_default() -> bool:
+    if os.environ.get("JAX_PALLAS_INTERPRET", "0") == "1":
+        return True
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    # 'axon' is the tunneled-TPU plugin platform; Mosaic compiles there too.
+    return platform not in ("tpu", "axon")
+
+
+def _shift_down(x, s, fill):
+    return jnp.concatenate(
+        [jnp.full((s,) + x.shape[1:], fill, x.dtype), x[:-s]], axis=0
+    )
+
+
+def _inclusive_scan(x, op, identity):
+    """Hillis-Steele prefix scan along axis 0 (log2 steps of shift+op)."""
+    s = 1
+    y = x
+    while s < y.shape[0]:
+        y = op(y, _shift_down(y, s, identity))
+        s *= 2
+    return y
+
+
+def _chunk_quantities(data, px, py, T_in, done_in):
+    """Shared fwd/bwd per-chunk math.
+
+    data: [CHUNK, NCH] packed instances; px/py: [1, PIX] pixel centers;
+    T_in/done_in: [1, PIX] carried transmittance / done latch.
+    Returns dict of [CHUNK, PIX] and [1, PIX] arrays.
+    """
+    mx = data[:, C_MX:C_MX + 1]
+    my = data[:, C_MY:C_MY + 1]
+    ca = data[:, C_CA:C_CA + 1]
+    cb = data[:, C_CB:C_CB + 1]
+    cc = data[:, C_CC:C_CC + 1]
+    op = data[:, C_OP:C_OP + 1]
+    vch = data[:, C_VALID:C_VALID + 1]
+
+    dx = px - mx                       # [CHUNK, PIX]
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    Gv = jnp.exp(power)
+    alpha_raw = op * Gv
+    alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
+    valid = (vch > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(valid, alpha, 0.0)
+    om = 1.0 - alpha
+
+    # T_i for each in-chunk gaussian: carried T times exclusive prefix prod
+    incl_all = _inclusive_scan(om, jnp.multiply, 1.0)
+    excl = _shift_down(incl_all, 1, 1.0)
+    T_run = T_in * excl                # [CHUNK, PIX]
+    test_T = T_run * om
+    trigger = valid & (test_T < T_EPS)
+    done_upto = _inclusive_scan(trigger, jnp.logical_or, False) | done_in
+    contribute = valid & ~done_upto
+    w = jnp.where(contribute, alpha * T_run, 0.0)
+
+    factors = jnp.where(contribute, om, 1.0)
+    T_out = T_in * _inclusive_scan(factors, jnp.multiply, 1.0)[-1:, :]
+    done_out = done_in | jnp.any(trigger, axis=0, keepdims=True)
+    return dict(
+        dx=dx, dy=dy, Gv=Gv, alpha=alpha, om=om, w=w, T_run=T_run,
+        contribute=contribute, T_out=T_out, done_out=done_out,
+    )
+
+
+def _pixel_coords(tile_idx, grid_x):
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    tile_y = tile_idx // grid_x
+    tile_x = tile_idx - tile_y * grid_x
+    px = (tile_x * 16 + lin % 16).astype(jnp.float32)
+    py = (tile_y * 16 + lin // 16).astype(jnp.float32)
+    return px, py
+
+
+def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
+                *, grid_x):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    nchunks = pl.cdiv(end - start, CHUNK)
+    px, py = _pixel_coords(t, grid_x)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            inst_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        c, T, done, acc, wmax, bgid = state
+        return (c < nchunks) & ~jnp.all(done)
+
+    def body(state):
+        c, T, done, acc, wmax, bgid = state
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(c % 2, c).wait()
+        data = chunk_vmem[c % 2]
+        q = _chunk_quantities(data, px, py, T, done)
+        rgbz = data[:, C_R:C_R + 4]            # [CHUNK, 4]
+        acc = acc + jax.lax.dot_general(
+            rgbz, q["w"], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                       # [4, PIX]
+        w = q["w"]
+        wm_chunk = jnp.max(w, axis=0, keepdims=True)
+        gid = data[:, C_GID:C_GID + 1]
+        sel_gid = jnp.max(
+            jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=0,
+            keepdims=True,
+        )
+        better = wm_chunk > wmax
+        wmax = jnp.where(better, wm_chunk, wmax)
+        bgid = jnp.where(better, sel_gid, bgid)
+        return c + 1, q["T_out"], q["done_out"], acc, wmax, bgid
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((1, PIX), jnp.float32),
+        jnp.zeros((1, PIX), bool),
+        jnp.zeros((4, PIX), jnp.float32),
+        jnp.zeros((1, PIX), jnp.float32),
+        jnp.full((1, PIX), -1.0, jnp.float32),
+    )
+    c_fin, T, done, acc, wmax, bgid = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched-but-unconsumed DMA after an early exit
+    @pl.when(c_fin < nchunks)
+    def _():
+        get_dma(c_fin % 2, c_fin).wait()
+
+    out_ref[0, O_R:O_R + 4, :] = acc
+    out_ref[0, O_T, :] = T[0]
+    out_ref[0, O_WMAX, :] = wmax[0]
+    out_ref[0, O_GID, :] = bgid[0]
+    out_ref[0, O_PAD, :] = jnp.zeros((PIX,), jnp.float32)
+
+
+def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
+                dinst_ref, chunk_vmem, dchunk_vmem, sems, wsems, *, grid_x):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    nchunks = pl.cdiv(end - start, CHUNK)
+    px, py = _pixel_coords(t, grid_x)
+
+    dpix = dpix_ref[0]                     # [8, PIX]
+    d_rgbz = dpix[D_R:D_R + 4, :]          # [4, PIX]
+    Q = dpix[D_Q:D_Q + 1, :]               # [1, PIX]
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            inst_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma(slot, c):
+        return pltpu.make_async_copy(
+            dchunk_vmem.at[slot],
+            dinst_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            wsems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        c, T, done, S = state
+        return (c < nchunks) & ~jnp.all(done)
+
+    def body(state):
+        c, T, done, S = state
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(c % 2, c).wait()
+        data = chunk_vmem[c % 2]
+        q = _chunk_quantities(data, px, py, T, done)
+        w, contribute = q["w"], q["contribute"]
+
+        rgbz = data[:, C_R:C_R + 4]
+        # v_{i,p} = c_i . d_rgb_p + z_i * d_z_p    [CHUNK, PIX]
+        v = jax.lax.dot_general(
+            rgbz, d_rgbz, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wv = w * v
+        S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+        dalpha = jnp.where(
+            contribute,
+            q["T_run"] * v - (Q - S_incl) / q["om"],
+            0.0,
+        )
+        op = data[:, C_OP:C_OP + 1]
+        Gv = q["Gv"]
+        dG_dop = jnp.where(contribute, Gv * dalpha, 0.0)
+        dpower = jnp.where(contribute, op * Gv * dalpha, 0.0)
+        dx, dy = q["dx"], q["dy"]
+        ca = data[:, C_CA:C_CA + 1]
+        cb = data[:, C_CB:C_CB + 1]
+        cc = data[:, C_CC:C_CC + 1]
+
+        ones = jnp.ones((PIX, 1), jnp.float32)
+
+        def rowsum(x):                      # [CHUNK, PIX] -> [CHUNK, 1]
+            return jax.lax.dot_general(
+                x, ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dmx = rowsum(dpower * (ca * dx + cb * dy))
+        dmy = rowsum(dpower * (cb * dx + cc * dy))
+        dca = rowsum(-0.5 * dpower * dx * dx)
+        dcb = rowsum(-dpower * dx * dy)
+        dcc = rowsum(-0.5 * dpower * dy * dy)
+        dop = rowsum(dG_dop)
+        # d color / d depth: [CHUNK, 4] = w @ d_rgbz^T
+        dcol = jax.lax.dot_general(
+            w, d_rgbz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(c >= 2)
+        def _():
+            put_dma(c % 2, c - 2).wait()
+
+        dchunk_vmem[c % 2] = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcol,
+             jnp.zeros((CHUNK, NCH - 10), jnp.float32)],
+            axis=1,
+        )
+        put_dma(c % 2, c).start()
+        return c + 1, q["T_out"], q["done_out"], S_incl[-1:, :]
+
+    init = (
+        jnp.int32(0),
+        jnp.ones((1, PIX), jnp.float32),
+        jnp.zeros((1, PIX), bool),
+        jnp.zeros((1, PIX), jnp.float32),
+    )
+    c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(c_fin < nchunks)           # drain unconsumed read prefetch
+    def _():
+        get_dma(c_fin % 2, c_fin).wait()
+
+    @pl.when(c_fin >= 2)                # drain outstanding writes
+    def _():
+        put_dma(c_fin % 2, c_fin - 2).wait()
+
+    @pl.when(c_fin >= 1)
+    def _():
+        put_dma((c_fin - 1) % 2, c_fin - 1).wait()
+
+
+def _pad_inst(inst):
+    """Pad the packed instance buffer with one extra (benign) chunk so the
+    fixed-size chunk DMA at the final partial chunk stays in bounds."""
+    return jnp.concatenate(
+        [inst, jnp.zeros((CHUNK, inst.shape[1]), inst.dtype)], axis=0
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+)
+def rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y, interpret=None):
+    """Blend packed instances into per-tile buffers.
+
+    inst: [P, 16] float32 packed instances (see channel constants);
+    tile_start/tile_end: [T] int32 chunk-aligned segment ranges;
+    returns out_f [T, 8, 256] float32 (rows: r,g,b,depth,T_final,w_max,
+    best_gid, pad).
+    """
+    return _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y,
+                               interpret)
+
+
+def _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    num_tiles = grid_x * grid_y
+    inst = _pad_inst(inst)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, NCH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, grid_x=grid_x),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_start, tile_end, inst)
+
+
+def _rasterize_fwd_rule(inst, tile_start, tile_end, grid_x, grid_y, interpret):
+    out = _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y,
+                              interpret)
+    return out, (inst, tile_start, tile_end, out)
+
+
+def _rasterize_bwd_rule(grid_x, grid_y, interpret, res, g):
+    inst, tile_start, tile_end, out = res
+    if interpret is None:
+        interpret = _interpret_default()
+    num_tiles = grid_x * grid_y
+
+    # Per-pixel backward inputs: rows 0-3 are d(rgb,z); row 4 is
+    # Q = Σ_j w_j v_j + dT · T_final, assembled from forward outputs.
+    d_rgbz = g[:, O_R:O_R + 4, :]                          # [T, 4, PIX]
+    acc_rgbz = out[:, O_R:O_R + 4, :]
+    Q = jnp.sum(d_rgbz * acc_rgbz, axis=1, keepdims=True) + (
+        g[:, O_T:O_T + 1, :] * out[:, O_T:O_T + 1, :]
+    )
+    dpix = jnp.concatenate(
+        [d_rgbz, Q, jnp.zeros((num_tiles, 3, PIX), jnp.float32)], axis=1
+    )
+
+    inst_p = _pad_inst(inst)
+    dinst_init = jnp.zeros_like(inst_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, NCH), jnp.float32),
+            pltpu.VMEM((2, CHUNK, NCH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dinst = pl.pallas_call(
+        functools.partial(_bwd_kernel, grid_x=grid_x),
+        out_shape=jax.ShapeDtypeStruct(inst_p.shape, jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},  # zero-initialized dinst is donated
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_end, inst_p, dpix, dinst_init)
+    return (dinst[:-CHUNK], None, None)
+
+
+rasterize_binned.defvjp(_rasterize_fwd_rule, _rasterize_bwd_rule)

@@ -1,0 +1,246 @@
+"""Rasterizer correctness: Pallas kernels vs the exact jnp oracle
+(SURVEY.md §4b: kernel tests, image- and grad-allclose)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianprediction_tpu.data.synthetic import orbit_camera, random_gaussians
+from gaussianprediction_tpu.ops import binning, projection
+from gaussianprediction_tpu.ops import rasterize as R
+from gaussianprediction_tpu.ops import rasterize_pallas as rp
+from gaussianprediction_tpu.ops.rasterize_reference import rasterize_pixels_reference
+from gaussianprediction_tpu.utils import sh as shlib
+
+W, H = 64, 48
+
+
+def scene(n=120, seed=0):
+    g = random_gaussians(n, seed=seed, scale_range=(-3.6, -2.2))
+    cam = orbit_camera(0.4, width=W, height=H, uid=0)
+    return g, cam.to_device_dict()
+
+
+def _proj(g, cam, alive=None):
+    rot = g["rotation"] / np.linalg.norm(g["rotation"], axis=-1, keepdims=True)
+    return projection.project_from_params(
+        jnp.asarray(g["xyz"]), jnp.exp(jnp.asarray(g["log_scales"])),
+        jnp.asarray(rot), cam, W, H, alive=alive,
+    )
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class TestProjection:
+    def test_center_gaussian_projects_to_center(self):
+        cam = orbit_camera(0.0, phi=0.0, width=W, height=H).to_device_dict()
+        proj = projection.project_gaussians(
+            jnp.zeros((1, 3)),
+            jnp.asarray([[0.01, 0, 0, 0.01, 0, 0.01]]),
+            cam["world_view"], cam["full_proj"],
+            cam["tanfovx"], cam["tanfovy"], W, H,
+        )
+        np.testing.assert_allclose(
+            proj.mean2d[0], [(W - 1) / 2, (H - 1) / 2], atol=1e-3
+        )
+        assert int(proj.radius[0]) > 0
+        assert float(proj.depth[0]) == pytest.approx(4.0, abs=1e-4)
+
+    def test_behind_camera_culled(self):
+        cam = orbit_camera(0.0, phi=0.0, width=W, height=H).to_device_dict()
+        proj = projection.project_gaussians(
+            jnp.asarray([[0.0, 0.0, 10.0]]),  # behind (camera at z=4 -> +z)
+            jnp.asarray([[0.01, 0, 0, 0.01, 0, 0.01]]),
+            cam["world_view"], cam["full_proj"],
+            cam["tanfovx"], cam["tanfovy"], W, H,
+        )
+        assert not bool(proj.visible[0])
+        assert int(proj.radius[0]) == 0
+
+    def test_alive_mask_culls(self):
+        g, cam = scene(10)
+        proj = _proj(g, cam, alive=jnp.zeros(10, bool))
+        assert int(jnp.sum(proj.radius)) == 0
+
+
+class TestBinning:
+    def test_instances_cover_rects(self):
+        g, cam = scene(60, seed=3)
+        proj = _proj(g, cam)
+        bins = binning.bin_gaussians(proj, W, H, capacity=8192)
+        assert int(bins.n_dropped) == 0
+        expected = int(
+            jnp.sum(
+                jnp.where(
+                    proj.visible,
+                    (proj.tiles_max[:, 0] - proj.tiles_min[:, 0])
+                    * (proj.tiles_max[:, 1] - proj.tiles_min[:, 1]),
+                    0,
+                )
+            )
+        )
+        assert int(bins.n_instances) == expected
+        # every instance's tile is inside its gaussian's rect
+        tid = np.asarray(bins.tile_id)
+        gid = np.asarray(bins.gauss_id)
+        gx = (W + 15) // 16
+        valid = tid < gx * ((H + 15) // 16)
+        tmin = np.asarray(proj.tiles_min)[gid[valid]]
+        tmax = np.asarray(proj.tiles_max)[gid[valid]]
+        tx, ty = tid[valid] % gx, tid[valid] // gx
+        assert ((tx >= tmin[:, 0]) & (tx < tmax[:, 0])).all()
+        assert ((ty >= tmin[:, 1]) & (ty < tmax[:, 1])).all()
+
+    def test_depth_sorted_within_tiles(self):
+        g, cam = scene(80, seed=4)
+        proj = _proj(g, cam)
+        bins = binning.bin_gaussians(proj, W, H, capacity=8192)
+        tid = np.asarray(bins.tile_id)
+        depth = np.asarray(proj.depth)[np.asarray(bins.gauss_id)]
+        for t in np.unique(tid):
+            if t >= 12:  # sentinel
+                continue
+            d = depth[tid == t]
+            assert (np.diff(d) >= -1e-6).all()
+
+    def test_aligned_layout(self):
+        g, cam = scene(60, seed=5)
+        proj = _proj(g, cam)
+        bins = binning.bin_gaussians(
+            proj, W, H, capacity=8192, align=rp.CHUNK
+        )
+        assert int(bins.n_dropped) == 0
+        starts = np.asarray(bins.tile_start)
+        assert (starts % rp.CHUNK == 0).all()
+        # padded rows flagged
+        gid = np.asarray(bins.gauss_id)
+        ends = np.asarray(bins.tile_end)
+        for t in range(len(starts)):
+            seg = gid[starts[t]:ends[t]]
+            assert (seg >= 0).all()
+
+
+class TestPallasVsOracle:
+    def _render_both(self, n=150, seed=1, opacity_boost=0.0):
+        g, cam = scene(n, seed=seed)
+        opac = _sigmoid(g["opacity_logit"] + opacity_boost).astype(np.float32)
+        proj = _proj(g, cam)
+        bg = jnp.asarray([0.2, 0.3, 0.4])
+        rgb_ref, depth_ref, alpha_ref, tidx_ref = rasterize_pixels_reference(
+            proj, jnp.asarray(g["colors"]), jnp.asarray(opac), bg, W, H
+        )
+        out = R.render(
+            jnp.asarray(g["xyz"]),
+            jnp.exp(jnp.asarray(g["log_scales"])),
+            jnp.asarray(g["rotation"]),
+            jnp.asarray(opac),
+            None,
+            cam, W, H, bg,
+            colors_precomp=jnp.asarray(g["colors"]),
+            interpret=True,
+        )
+        return (rgb_ref, depth_ref, alpha_ref, tidx_ref), out
+
+    def test_forward_image_matches(self):
+        (rgb_ref, depth_ref, alpha_ref, tidx_ref), out = self._render_both()
+        assert int(out["n_dropped"]) == 0
+        np.testing.assert_allclose(out["render"], rgb_ref, atol=2e-5)
+        np.testing.assert_allclose(out["depth"], depth_ref, atol=2e-4)
+        np.testing.assert_allclose(out["alpha"], alpha_ref, atol=2e-5)
+        agree = np.mean(np.asarray(out["tidx"]) == np.asarray(tidx_ref))
+        assert agree > 0.99  # ties may differ
+
+    def test_forward_dense_occlusion(self):
+        # high opacity -> exercises the T<1e-4 done latch
+        (rgb_ref, *_), out = self._render_both(n=300, seed=7, opacity_boost=4.0)
+        np.testing.assert_allclose(out["render"], rgb_ref, atol=5e-5)
+
+    def test_gradients_match_oracle(self):
+        g, cam = scene(100, seed=2)
+        opac = _sigmoid(g["opacity_logit"]).astype(np.float32)
+        bg = jnp.asarray([0.0, 0.0, 0.0])
+        target = jnp.asarray(
+            np.random.default_rng(9).uniform(0, 1, (H, W, 3)), jnp.float32
+        )
+
+        def loss_oracle(xyz, log_s, rot, op, col):
+            rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+            proj = projection.project_from_params(
+                xyz, jnp.exp(log_s), rot, cam, W, H
+            )
+            rgb, depth, alpha, _ = rasterize_pixels_reference(
+                proj, col, op, bg, W, H
+            )
+            return jnp.mean((rgb - target) ** 2) + 0.1 * jnp.mean(depth)
+
+        def loss_pallas(xyz, log_s, rot, op, col):
+            out = R.render(
+                xyz, jnp.exp(log_s), rot, op, None, cam, W, H, bg,
+                colors_precomp=col, interpret=True,
+            )
+            return jnp.mean((out["render"] - target) ** 2) + 0.1 * jnp.mean(
+                out["depth"]
+            )
+
+        args = (
+            jnp.asarray(g["xyz"]), jnp.asarray(g["log_scales"]),
+            jnp.asarray(g["rotation"]), jnp.asarray(opac),
+            jnp.asarray(g["colors"]),
+        )
+        g_ref = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*args)
+        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+        names = ["xyz", "log_scales", "rotation", "opacity", "colors"]
+        for name, a, b in zip(names, g_ref, g_pal):
+            scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4 * scale + 1e-8,
+                err_msg=f"grad mismatch: {name}",
+            )
+
+    def test_sh_render_and_grads(self):
+        g, cam = scene(60, seed=11)
+        opac = _sigmoid(g["opacity_logit"]).astype(np.float32)
+        bg = jnp.asarray([1.0, 1.0, 1.0])
+        K = 16
+        rng = np.random.default_rng(13)
+        shs = jnp.asarray(
+            rng.normal(size=(60, 3, K)).astype(np.float32) * 0.3
+        )
+
+        def loss(shs_):
+            out = R.render(
+                jnp.asarray(g["xyz"]), jnp.exp(jnp.asarray(g["log_scales"])),
+                jnp.asarray(g["rotation"]), jnp.asarray(opac), shs_,
+                cam, W, H, bg, sh_degree=2, interpret=True,
+            )
+            return jnp.mean(out["render"])
+
+        val, grads = jax.value_and_grad(loss)(shs)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grads)).all()
+        assert float(jnp.abs(grads).max()) > 0
+
+    def test_means2d_gradient_carrier(self):
+        g, cam = scene(80, seed=12)
+        opac = _sigmoid(g["opacity_logit"] + 1.0).astype(np.float32)
+        bg = jnp.asarray([0.0, 0.0, 0.0])
+
+        def loss(dummy):
+            out = R.render(
+                jnp.asarray(g["xyz"]), jnp.exp(jnp.asarray(g["log_scales"])),
+                jnp.asarray(g["rotation"]), jnp.asarray(opac), None,
+                cam, W, H, bg, colors_precomp=jnp.asarray(g["colors"]),
+                means2d_dummy=dummy, interpret=True,
+            )
+            return jnp.mean(out["render"] ** 2)
+
+        grad = jax.grad(loss)(jnp.zeros((80, 2)))
+        assert np.isfinite(np.asarray(grad)).all()
+        # visible gaussians should receive nonzero screen-space grads
+        proj = _proj(g, cam)
+        vis = np.asarray(proj.visible)
+        norms = np.linalg.norm(np.asarray(grad), axis=-1)
+        assert norms[vis].max() > 0
+        assert np.allclose(norms[~vis], 0.0)
