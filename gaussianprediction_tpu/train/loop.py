@@ -1,0 +1,265 @@
+"""Host training loop: stage schedule, densification cadence, checkpoints.
+
+Twin of `training()` (/root/reference/train.py:36-201). The host owns the
+rare, shape-changing or schedule-driven events; everything per-iteration is
+inside the stage's jitted step (train/step.py):
+
+  host: camera sampling, SH-degree bumps (1k cadence), stage transitions
+        (k-means keypoint init at second_stage+1, fresh optimizers),
+        densify/prune/opacity-reset cadence, keypoint growth cadence,
+        checkpoint/PLY saves, logging
+  device: render + loss + backward + masked adam + stat accumulation
+
+Stage transitions match gaussian_model.py:246-250; densification cadence
+matches train.py:163-192 (including the max_gaussian_size gate and the
+white-background extra opacity reset).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianprediction_tpu.config import Config
+from gaussianprediction_tpu.data.scene import Scene
+from gaussianprediction_tpu.models import gaussians as G
+from gaussianprediction_tpu.ops.kmeans import feature_kmeans
+from gaussianprediction_tpu.train import checkpoint as ckpt
+from gaussianprediction_tpu.train import densify as dn
+from gaussianprediction_tpu.train import optimizer as opt_mod
+from gaussianprediction_tpu.train.step import make_train_step
+
+
+def stage_of(cfg: Config, iteration: int) -> int:
+    if iteration < cfg.train.jointly_iteration:
+        return 0
+    if iteration <= cfg.train.second_stage_iteration:
+        return 1
+    if iteration <= cfg.train.third_stage_iteration:
+        return 2
+    return 3
+
+
+def set_super_keypoints(state: G.GaussianState, cfg: Config, key):
+    """k-means keypoint init (set_superKeypoints, gaussian_model.py:128-136):
+    cluster [xyz, motion_feature], keypoint = member-mean xyz."""
+    p = state.params
+    feats = jnp.concatenate([p["xyz"], p["motion_feature"]], axis=-1)
+    k = cfg.model.max_points
+    super_xyz, super_feats = feature_kmeans(
+        p["xyz"], feats, k, key, valid=state.alive
+    )
+    params = dict(p)
+    params["super_xyz"] = p["super_xyz"].at[:k].set(super_xyz)
+    params["super_feature"] = p["super_feature"].at[:k].set(
+        super_feats[:, 3:]
+    )
+    kpt_alive = jnp.zeros_like(state.kpt_alive).at[:k].set(True)
+    return state.replace(params=params, kpt_alive=kpt_alive)
+
+
+class Trainer:
+    """Owns all mutable training state; `run()` trains to cfg.opt.iterations."""
+
+    def __init__(self, cfg: Config, scene: Scene, seed: Optional[int] = None,
+                 interpret: Optional[bool] = None, log_every: int = 100,
+                 quiet: bool = False):
+        self.cfg = cfg
+        self.scene = scene
+        self.interpret = interpret
+        self.log_every = log_every
+        self.quiet = quiet
+        seed = cfg.train.seed if seed is None else seed
+        self.key = jax.random.PRNGKey(2024 * seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.state = G.create_from_pcd(
+            k_init, cfg, scene.info.points, scene.info.colors
+        )
+        self.opt_state = opt_mod.init_adam(self.state.params)
+        self.iteration = 0
+        self.active_sh_degree = 0
+        self.bg = (
+            np.ones(3, np.float32) if cfg.model.white_background
+            else np.zeros(3, np.float32)
+        )
+        cam0 = scene.train_cameras[0]
+        self.width, self.height = cam0.width, cam0.height
+        self._steps: Dict = {}
+        self._history = []
+
+        # jitted host-event helpers (cfg/extent closed over: configs are
+        # mutable dataclasses, not hashable static args)
+        extent = float(scene.cameras_extent)
+        self._jit_set_kpts = jax.jit(
+            lambda s, k: set_super_keypoints(s, cfg, k)
+        )
+        self._jit_densify = jax.jit(
+            lambda s, o, k: dn.densify_and_prune_clone_split(
+                s, o, cfg, extent, k
+            ),
+            donate_argnums=(0, 1),
+        )
+        self._jit_reset_opacity = jax.jit(
+            dn.reset_opacity, donate_argnums=(0, 1)
+        )
+        self._jit_prune = {
+            thr: jax.jit(
+                (lambda thr_: lambda s: dn.prune(s, cfg, extent, thr_))(thr),
+                donate_argnums=(0,),
+            )
+            for thr in (None, 20)
+        }
+        max_new = max(cfg.model.adaptive_points_num, 1)
+        self._jit_grow_kpts = jax.jit(
+            lambda s, o: dn.grow_keypoints_from_grads(s, o, cfg, max_new),
+            donate_argnums=(0, 1),
+        )
+
+    # ---- jitted-step cache ------------------------------------------------
+    def _step_fn(self, stage: int):
+        key = (stage, self.active_sh_degree)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.cfg, stage, self.width, self.height,
+                float(self.scene.cameras_extent), self.active_sh_degree,
+                self.scene.total_frame, self.bg, interpret=self.interpret,
+            )
+        return self._steps[key]
+
+    # ---- host events ------------------------------------------------------
+    def _maybe_stage_transition(self, iteration: int):
+        cfg = self.cfg
+        if iteration == cfg.train.second_stage_iteration + 1:
+            self.key, k = jax.random.split(self.key)
+            self.state = self._jit_set_kpts(self.state, k)
+            self.opt_state = opt_mod.init_adam(self.state.params)
+            if not self.quiet:
+                print(f"[iter {iteration}] stage 2: keypoints initialized "
+                      f"({int(self.state.n_kpts())})")
+        if iteration == cfg.train.third_stage_iteration + 1:
+            self.opt_state = opt_mod.init_adam(self.state.params)
+            if not self.quiet:
+                print(f"[iter {iteration}] stage 3: joint optimization")
+
+    def _densification(self, iteration: int, stage: int):
+        cfg = self.cfg
+        o = cfg.opt
+        if iteration >= o.densify_until_iter:
+            pass
+        else:
+            n_alive = int(self.state.n_alive())
+            if (
+                iteration > o.densify_from_iter
+                and iteration % o.densification_interval == 0
+                and n_alive < cfg.model.max_gaussian_size
+            ):
+                self.key, k = jax.random.split(self.key)
+                self.state, self.opt_state = self._jit_densify(
+                    self.state, self.opt_state, k
+                )
+            if iteration % o.opacity_reset_interval == 0 or (
+                cfg.model.white_background and iteration == o.densify_from_iter
+            ):
+                self.state, self.opt_state = self._jit_reset_opacity(
+                    self.state, self.opt_state
+                )
+            if (
+                iteration > o.densify_from_iter
+                and iteration % o.densification_interval == 0
+            ):
+                size_thr = 20 if iteration > o.opacity_reset_interval else None
+                self.state = self._jit_prune[size_thr](self.state)
+
+        # adaptive keypoint growth (train.py:181-192)
+        if stage >= 2 and cfg.train.densify_from_grad:
+            s2 = cfg.train.second_stage_iteration
+            if (
+                iteration < cfg.train.adaptive_end_iter + s2
+                and int(self.state.n_kpts()) < cfg.model.kpt_capacity()
+                and iteration > cfg.train.adaptive_from_iter + s2
+                and iteration % cfg.train.adaptive_interval == 0
+            ):
+                self.state, self.opt_state = self._jit_grow_kpts(
+                    self.state, self.opt_state
+                )
+                if not self.quiet:
+                    print(f"[iter {iteration}] keypoints -> "
+                          f"{int(self.state.n_kpts())}")
+
+    # ---- main loop --------------------------------------------------------
+    def train_one(self, iteration: int) -> Dict:
+        cfg = self.cfg
+        if iteration % 1000 == 0 and self.active_sh_degree < cfg.model.sh_degree:
+            self.active_sh_degree += 1
+        self._maybe_stage_transition(iteration)
+        stage = stage_of(cfg, iteration)
+        cam = self.scene.next_train_camera()
+        gt = jnp.asarray(cam.load_image())
+        self.key, k_step = jax.random.split(self.key)
+        step = self._step_fn(stage)
+        self.state, self.opt_state, metrics = step(
+            self.state, self.opt_state, cam.to_device_dict(), gt,
+            jnp.float32(cam.time), jnp.int32(iteration), k_step,
+        )
+        self._densification(iteration, stage)
+        return metrics
+
+    def run(self, iterations: Optional[int] = None,
+            model_path: Optional[str] = None):
+        cfg = self.cfg
+        iterations = iterations or cfg.opt.iterations
+        model_path = model_path or cfg.model_path
+        t0 = time.time()
+        for iteration in range(self.iteration + 1, iterations + 1):
+            metrics = self.train_one(iteration)
+            self.iteration = iteration
+            if iteration % self.log_every == 0:
+                loss = float(metrics["loss"])
+                p = float(metrics["psnr"])
+                entry = {
+                    "iter": iteration, "loss": loss, "psnr": p,
+                    "n_gaussians": int(self.state.n_alive()),
+                    "n_kpts": int(self.state.n_kpts()),
+                    "elapsed": time.time() - t0,
+                }
+                self._history.append(entry)
+                if not self.quiet:
+                    print(
+                        f"[{iteration}/{iterations}] loss {loss:.5f} "
+                        f"psnr {p:.2f} n={entry['n_gaussians']}"
+                    )
+            if model_path:
+                if iteration in cfg.train.save_iterations:
+                    G.save_ply(
+                        self.state,
+                        os.path.join(
+                            model_path,
+                            f"point_cloud/iteration_{iteration}",
+                            "point_cloud.ply",
+                        ),
+                    )
+                if iteration in cfg.train.checkpoint_iterations:
+                    self.save_checkpoint(
+                        os.path.join(model_path, f"chkpnt{iteration}.npz")
+                    )
+        if model_path:
+            os.makedirs(model_path, exist_ok=True)
+            with open(os.path.join(model_path, "history.json"), "w") as f:
+                json.dump(self._history, f)
+        return self._history
+
+    def save_checkpoint(self, path: str):
+        ckpt.save_checkpoint(
+            path, self.state, self.opt_state, self.iteration, self.key,
+        )
+
+    def load_checkpoint(self, path: str):
+        self.state, self.opt_state, self.iteration, self.key = (
+            ckpt.load_checkpoint(path, self.state, self.opt_state)
+        )
+        self.active_sh_degree = self.cfg.model.sh_degree

@@ -1,0 +1,163 @@
+"""KNN / FPS / k-means / hash-grid correctness vs brute force (SURVEY §4c)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianprediction_tpu.ops import fps, hashgrid, kmeans, knn
+
+
+def rnd(*shape, seed=0):
+    return np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+
+
+class TestKNN:
+    def test_matches_bruteforce(self):
+        q, p = rnd(100, 3, seed=1), rnd(50, 3, seed=2)
+        d, i = knn.knn(jnp.asarray(q), jnp.asarray(p), 4)
+        full = ((q[:, None] - p[None]) ** 2).sum(-1)
+        bi = np.argsort(full, axis=1, kind="stable")[:, :4]
+        bd = np.take_along_axis(full, bi, axis=1)
+        np.testing.assert_allclose(np.sort(d, 1), np.sort(bd, 1), atol=1e-4)
+        # sets of neighbors equal (ordering within ties may differ)
+        for r in range(100):
+            assert set(np.asarray(i)[r].tolist()) == set(bi[r].tolist())
+
+    def test_blocked_path(self):
+        q, p = rnd(5000, 3, seed=3), rnd(64, 3, seed=4)
+        d1, i1 = knn.knn(jnp.asarray(q), jnp.asarray(p), 3, block=1024)
+        d2, i2 = knn.knn(jnp.asarray(q), jnp.asarray(p), 3, block=8192)
+        np.testing.assert_allclose(d1, d2, atol=1e-4)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_point_valid_mask(self):
+        q, p = rnd(10, 3, seed=5), rnd(20, 3, seed=6)
+        valid = jnp.zeros(20, bool).at[:5].set(True)
+        _, i = knn.knn(jnp.asarray(q), jnp.asarray(p), 3, point_valid=valid)
+        assert (np.asarray(i) < 5).all()
+
+    def test_mean_knn_sq_dist_excludes_self(self):
+        # 4 points on a line at 0,1,2,3: NN dists^2 of point 0 are 1,4,9
+        p = jnp.asarray([[0.0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]])
+        d = knn.mean_knn_sq_dist(p, k=3)
+        assert float(d[0]) == pytest.approx((1 + 4 + 9) / 3, abs=1e-5)
+        assert float(d[1]) == pytest.approx((1 + 1 + 4) / 3, abs=1e-5)
+
+    def test_hybrid_concat(self):
+        xyz, feat = rnd(30, 3, seed=7), rnd(30, 8, seed=8)
+        kx, kf = rnd(6, 3, seed=9), rnd(6, 8, seed=10)
+        d, i = knn.hybrid_knn(
+            jnp.asarray(xyz), jnp.asarray(feat), jnp.asarray(kx),
+            jnp.asarray(kf), 2, feature_amplify=5.0,
+        )
+        qc = np.concatenate([xyz, feat * 5.0], -1)
+        pc = np.concatenate([kx, kf * 5.0], -1)
+        full = ((qc[:, None] - pc[None]) ** 2).sum(-1)
+        bi = np.argsort(full, 1)[:, :2]
+        for r in range(30):
+            assert set(np.asarray(i)[r].tolist()) == set(bi[r].tolist())
+
+
+class TestFPS:
+    def test_spreads_points(self):
+        # clusters far apart: FPS must pick one from each before repeats
+        pts = np.concatenate([
+            rnd(50, 3, seed=11) * 0.1 + np.array(c)
+            for c in ([0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10])
+        ]).astype(np.float32)
+        idx = fps.furthest_point_sampling(jnp.asarray(pts), 4)
+        clusters = set(int(i) // 50 for i in np.asarray(idx))
+        assert clusters == {0, 1, 2, 3}
+
+    def test_respects_valid_mask(self):
+        pts = rnd(100, 3, seed=12)
+        valid = jnp.zeros(100, bool).at[40:60].set(True)
+        idx = np.asarray(fps.furthest_point_sampling(jnp.asarray(pts), 8,
+                                                     valid=valid))
+        assert ((idx >= 40) & (idx < 60)).all()
+
+
+class TestKMeans:
+    def test_separable_clusters(self):
+        rng = np.random.default_rng(13)
+        centers = np.array([[0, 0, 0], [20, 0, 0], [0, 20, 0]], np.float32)
+        pts = np.concatenate(
+            [rng.normal(c, 0.5, (100, 3)) for c in centers]
+        ).astype(np.float32)
+        c, assign = kmeans.kmeans(
+            jnp.asarray(pts), 3, jax.random.PRNGKey(0), n_iters=25
+        )
+        c = np.asarray(c)
+        # every true center has a centroid within 0.5
+        for tc in centers:
+            assert np.min(np.linalg.norm(c - tc, axis=1)) < 0.5
+        # members agree
+        a = np.asarray(assign)
+        for g in range(3):
+            vals = a[g * 100:(g + 1) * 100]
+            assert (vals == vals[0]).all()
+
+    def test_feature_kmeans_mean_xyz(self):
+        xyz = rnd(200, 3, seed=14)
+        feats = jnp.concatenate(
+            [jnp.asarray(xyz), jnp.asarray(rnd(200, 4, seed=15))], -1
+        )
+        sx, sf = kmeans.feature_kmeans(
+            jnp.asarray(xyz), feats, 5, jax.random.PRNGKey(1), n_iters=10
+        )
+        assert sx.shape == (5, 3) and sf.shape == (5, 7)
+        assert np.isfinite(np.asarray(sx)).all()
+
+    def test_valid_mask(self):
+        xyz = rnd(50, 3, seed=16) + 100.0  # far-away invalid points
+        xyz[:25] -= 100.0
+        valid = jnp.arange(50) < 25
+        c, assign = kmeans.kmeans(
+            jnp.asarray(xyz), 3, jax.random.PRNGKey(2), n_iters=10,
+            valid=valid,
+        )
+        assert np.abs(np.asarray(c)).max() < 10  # centroids near valid pts
+
+
+class TestHashGrid:
+    def test_encode_shapes_and_grads(self):
+        key = jax.random.PRNGKey(3)
+        tables = hashgrid.init_hashgrid(key, n_levels=4, n_features=2,
+                                        log2_T=10)
+        xyz = jnp.asarray(rnd(32, 3, seed=17))
+
+        def f(t):
+            return jnp.sum(hashgrid.hashgrid_encode(t, xyz) ** 2)
+
+        out = hashgrid.hashgrid_encode(tables, xyz)
+        assert out.shape == (32, 8)
+        g = jax.grad(f)(tables)
+        total = sum(float(jnp.abs(v).sum()) for v in g.values())
+        assert np.isfinite(total) and total > 0
+
+    def test_interpolation_continuity(self):
+        # moving a point slightly moves features slightly (trilinear)
+        key = jax.random.PRNGKey(4)
+        tables = hashgrid.init_hashgrid(key, n_levels=4, n_features=2,
+                                        log2_T=12)
+        x0 = jnp.asarray([[0.1, 0.2, 0.3]])
+        f0 = hashgrid.hashgrid_encode(tables, x0)
+        f1 = hashgrid.hashgrid_encode(tables, x0 + 1e-5)
+        assert float(jnp.abs(f1 - f0).max()) < 1e-4
+
+    def test_dense_levels_collision_free(self):
+        res = hashgrid.level_resolutions(16, 16, 2048)
+        assert res[0] == 16 and res[-1] == 2048
+        assert hashgrid.level_table_size(16, 19) == 17**3  # dense
+        assert hashgrid.level_table_size(2048, 19) == 2**19  # hashed
+
+    def test_mlp_matches_manual(self):
+        key = jax.random.PRNGKey(5)
+        params = hashgrid.init_mlp(key, [4, 8, 2])
+        x = jnp.asarray(rnd(10, 4, seed=18))
+        out = hashgrid.mlp_apply(params, x)
+        manual = np.maximum(
+            np.asarray(x) @ np.asarray(params[0]["w"])
+            + np.asarray(params[0]["b"]), 0,
+        ) @ np.asarray(params[1]["w"]) + np.asarray(params[1]["b"])
+        np.testing.assert_allclose(out, manual, atol=1e-5)

@@ -1,0 +1,260 @@
+"""Training-layer tests: Adam parity with torch, densify invariants, and the
+end-to-end slice — fitting a synthetic scene (SURVEY.md §4d)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianprediction_tpu.config import get_preset
+from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+from gaussianprediction_tpu.models import gaussians as G
+from gaussianprediction_tpu.train import densify as dn
+from gaussianprediction_tpu.train import optimizer as opt_mod
+from gaussianprediction_tpu.train.loop import Trainer, set_super_keypoints, stage_of
+
+
+def small_cfg(**kw):
+    cfg = get_preset("test")
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def make_state(cfg, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return G.create_from_pcd(jax.random.PRNGKey(seed), cfg, pts, cols)
+
+
+class TestAdamParity:
+    def test_matches_torch_adam(self):
+        torch = pytest.importorskip("torch")
+        cfg = small_cfg()
+        rng = np.random.default_rng(0)
+        p0 = rng.normal(size=(10, 3)).astype(np.float32)
+        lr = float(opt_mod.group_lr("scaling", cfg, 1.0, 5))
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = torch.optim.Adam([tp], lr=lr, eps=1e-15)
+
+        params = {"scaling": jnp.asarray(p0)}
+        opt_state = opt_mod.init_adam(params)
+        full_groups = opt_mod.GROUP_OF_PARAM
+        for step in range(5):
+            g = rng.normal(size=(10, 3)).astype(np.float32)
+            tp.grad = torch.from_numpy(g.copy())
+            topt.step()
+            # drive only the scaling group through our adam
+            grads = {"scaling": jnp.asarray(g)}
+            params, opt_state = opt_mod.adam_step(
+                params, grads, opt_state, cfg, 1, 1.0, jnp.int32(5)
+            )
+        np.testing.assert_allclose(
+            np.asarray(params["scaling"]), tp.detach().numpy(), atol=2e-6
+        )
+
+    def test_stage2_freezes_gaussian_params(self):
+        cfg = small_cfg()
+        state = make_state(cfg)
+        opt_state = opt_mod.init_adam(state.params)
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        new_params, _ = opt_mod.adam_step(
+            state.params, grads, opt_state, cfg, 2, 1.0, jnp.int32(70)
+        )
+        np.testing.assert_array_equal(new_params["xyz"], state.params["xyz"])
+        np.testing.assert_array_equal(
+            new_params["opacity"], state.params["opacity"]
+        )
+        # keypoints and deform MLP do move
+        assert not np.allclose(
+            new_params["super_xyz"], state.params["super_xyz"]
+        )
+        assert not np.allclose(
+            new_params["df_mlp"][0]["w"], state.params["df_mlp"][0]["w"]
+        )
+
+    def test_stage3_freezes_motion_feature(self):
+        cfg = small_cfg()
+        state = make_state(cfg)
+        opt_state = opt_mod.init_adam(state.params)
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        new_params, _ = opt_mod.adam_step(
+            state.params, grads, opt_state, cfg, 3, 1.0, jnp.int32(130)
+        )
+        np.testing.assert_array_equal(
+            new_params["motion_feature"], state.params["motion_feature"]
+        )
+        assert not np.allclose(new_params["xyz"], state.params["xyz"])
+
+
+class TestDensify:
+    def test_clone_into_free_slots(self):
+        cfg = small_cfg()
+        state = make_state(cfg, n=32)
+        opt_state = opt_mod.init_adam(state.params)
+        # force clone: high grads, small scales
+        state = state.replace(
+            xyz_gradient_accum=jnp.where(jnp.arange(512) < 5, 1.0, 0.0),
+            denom=jnp.ones(512),
+            params={**state.params,
+                    "scaling": jnp.full((512, 3), -8.0)},
+        )
+        n0 = int(state.n_alive())
+        state2, _ = dn.densify_and_prune_clone_split(
+            state, opt_state, cfg, extent=10.0, key=jax.random.PRNGKey(0)
+        )
+        assert int(state2.n_alive()) == n0 + 5
+        # cloned rows replicate source params
+        alive_new = np.asarray(state2.alive) & ~np.asarray(state.alive)
+        src = np.asarray(state.params["xyz"])[:5]
+        dst = np.asarray(state2.params["xyz"])[alive_new]
+        np.testing.assert_allclose(np.sort(dst, 0), np.sort(src, 0), atol=1e-6)
+        # stats reset
+        assert float(state2.denom.sum()) == 0.0
+
+    def test_split_kills_parent_adds_two(self):
+        cfg = small_cfg()
+        state = make_state(cfg, n=32)
+        opt_state = opt_mod.init_adam(state.params)
+        big = jnp.zeros((512, 3)).at[:3].set(jnp.log(5.0)) + jnp.where(
+            jnp.arange(512)[:, None] < 3, 0.0, -8.0
+        )
+        state = state.replace(
+            xyz_gradient_accum=jnp.where(jnp.arange(512) < 3, 1.0, 0.0),
+            denom=jnp.ones(512),
+            params={**state.params, "scaling": big},
+        )
+        n0 = int(state.n_alive())
+        state2, _ = dn.densify_and_prune_clone_split(
+            state, opt_state, cfg, extent=10.0, key=jax.random.PRNGKey(1)
+        )
+        assert int(state2.n_alive()) == n0 - 3 + 6
+        assert not bool(state2.alive[0])  # parents pruned
+        # children scale shrunk by 1/1.6
+        alive_new = np.asarray(state2.alive) & ~np.asarray(state.alive)
+        child_scales = np.asarray(state2.params["scaling"])[alive_new]
+        np.testing.assert_allclose(
+            child_scales, np.log(5.0 / 1.6), atol=1e-5
+        )
+
+    def test_prune_low_opacity(self):
+        cfg = small_cfg()
+        state = make_state(cfg, n=32)
+        opac = state.params["opacity"].at[:10].set(-10.0)  # ~0 opacity
+        state = state.replace(params={**state.params, "opacity": opac})
+        state2 = dn.prune(state, cfg, extent=10.0, max_screen_size=None)
+        assert int(state2.n_alive()) == 22
+
+    def test_keypoint_growth(self):
+        cfg = small_cfg()
+        state = make_state(cfg, n=64)
+        opt_state = opt_mod.init_adam(state.params)
+        state = set_super_keypoints(state, cfg, jax.random.PRNGKey(2))
+        k0 = int(state.n_kpts())
+        state = state.replace(
+            xyz_gradient_accum=jnp.where(jnp.arange(512) < 40, 1.0, 0.0),
+            denom=jnp.ones(512),
+        )
+        state2, _ = dn.grow_keypoints_from_grads(
+            state, opt_state, cfg, max_new=8
+        )
+        # 40 high-grad gaussians, ratio 100 -> 1 new keypoint
+        assert int(state2.n_kpts()) == k0 + 1
+
+    def test_reset_opacity(self):
+        cfg = small_cfg()
+        state = make_state(cfg, n=16)
+        opt_state = opt_mod.init_adam(state.params)
+        opt_state["m"]["opacity"] = jnp.ones_like(
+            opt_state["m"]["opacity"]
+        )
+        state2, opt2 = dn.reset_opacity(state, opt_state)
+        from gaussianprediction_tpu.models.gaussians import opacity_act
+        o = np.asarray(opacity_act(state2.params["opacity"]))[
+            np.asarray(state2.alive)
+        ]
+        assert (o <= 0.0101).all()
+        assert float(jnp.abs(opt2["m"]["opacity"]).sum()) == 0.0
+
+
+class TestEndToEndStatic:
+    def test_warmup_fits_scene(self):
+        """The M1/M2 slice: static scene, warm-up stage only — PSNR must
+        climb substantially within 60 iterations."""
+        cfg = small_cfg()
+        cfg.train.jointly_iteration = 1000  # stay in warm-up
+        cfg.opt.iterations = 60
+        info = synthetic_scene_info(
+            n_points=150, n_cams=8, n_test=2, width=64, height=64,
+            interpret=True,
+        )
+        scene = Scene(info)
+        tr = Trainer(cfg, scene, interpret=True, quiet=True, log_every=10)
+        cam = scene.test_cameras[0]
+        from gaussianprediction_tpu.train.step import render_at_time
+        from gaussianprediction_tpu.utils.image import psnr
+
+        def eval_psnr():
+            pkg, _ = render_at_time(
+                tr.state.params, cfg, tr.state, cam.to_device_dict(),
+                jnp.float32(0.0), jnp.int32(tr.iteration),
+                jax.random.PRNGKey(0), 0, 64, 64, jnp.zeros(3),
+                tr.active_sh_degree, interpret=True,
+            )
+            return float(psnr(pkg["render"], jnp.asarray(cam.image)))
+
+        p_before = eval_psnr()
+        tr.run(iterations=60, model_path=None)
+        p_after = eval_psnr()
+        assert p_after > p_before + 2.0, (p_before, p_after)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = small_cfg()
+        cfg.opt.iterations = 5
+        info = synthetic_scene_info(
+            n_points=60, n_cams=4, n_test=1, width=32, height=32,
+            interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr.run(iterations=5, model_path=None)
+        path = str(tmp_path / "ck.npz")
+        tr.save_checkpoint(path)
+
+        tr2 = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr2.load_checkpoint(path)
+        assert tr2.iteration == 5
+        np.testing.assert_allclose(
+            np.asarray(tr2.state.params["xyz"]),
+            np.asarray(tr.state.params["xyz"]), atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tr2.opt_state["m"]["xyz"]),
+            np.asarray(tr.opt_state["m"]["xyz"]), atol=0,
+        )
+
+
+class TestStageSchedule:
+    def test_stage_of(self):
+        cfg = small_cfg()
+        assert stage_of(cfg, 5) == 0
+        assert stage_of(cfg, 10) == 1
+        assert stage_of(cfg, 60) == 1
+        assert stage_of(cfg, 61) == 2
+        assert stage_of(cfg, 120) == 2
+        assert stage_of(cfg, 121) == 3
+
+    def test_full_stage_progression(self):
+        """Run across all stage transitions incl. keypoint init + growth."""
+        cfg = small_cfg()
+        info = synthetic_scene_info(
+            n_points=80, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr.run(iterations=140, model_path=None)
+        assert int(tr.state.n_kpts()) >= cfg.model.max_points
+        assert tr.iteration == 140
+        # loss finite throughout
+        m = tr.train_one(141)
+        assert np.isfinite(float(m["loss"]))
