@@ -27,10 +27,10 @@ from gaussianprediction_tpu.utils import sh as shlib
 
 
 def _assemble(per_tile, grid_x, grid_y, height, width):
-    """[T, C, 256] tile rows -> [H, W, C] image (crop off tile padding)."""
-    C = per_tile.shape[1]
-    img = per_tile.reshape(grid_y, grid_x, C, 16, 16)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(grid_y * 16, grid_x * 16, C)
+    """[T, 256, C] tile buffers -> [H, W, C] image (crop off tile padding)."""
+    C = per_tile.shape[-1]
+    img = per_tile.reshape(grid_y, grid_x, 16, 16, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * 16, grid_x * 16, C)
     return img[:height, :width]
 
 

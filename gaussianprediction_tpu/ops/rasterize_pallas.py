@@ -4,29 +4,31 @@ TPU-native re-design of renderCUDA fwd/bwd from
 diff-gaussian-rasterization-w-depth (reference submodule N1; SURVEY.md §2.2,
 §7.3). Architecture:
 
-- Gaussians are pre-binned into depth-ordered, chunk-ALIGNED per-tile
-  instance segments (ops/binning.py) and packed into one [P, 16] float32
-  SoA row per instance (a contiguous 64-byte row -> clean chunked DMA).
+- Gaussians are pre-binned into depth-ordered, CHUNK-ALIGNED per-tile
+  instance segments (ops/binning.py) and packed into a [16, P] float32 SoA
+  (channels on sublanes, instances on lanes: chunked DMA slices are then
+  [16, 128] — lane-tile aligned, which Mosaic requires).
 - The FORWARD kernel runs one program per 16x16 tile. It streams its
-  instance segment from HBM in double-buffered chunks of CHUNK rows,
-  computes the alpha matrix A[CHUNK, 256] on the VPU, turns the sequential
+  instance segment from HBM in double-buffered [16, CHUNK] chunks, computes
+  the alpha matrix A[256 pixels, CHUNK] on the VPU, turns the sequential
   front-to-back blend into a chunk-local exclusive cumulative product
-  (log-step Hillis-Steele scan over sublanes) against a carried per-pixel
+  (log-step Hillis-Steele scan along lanes) against a carried per-pixel
   transmittance, and accumulates color/depth via an MXU contraction
-  w^T @ [r,g,b,z]. The CUDA `done` latch at T < 1e-4 is reproduced exactly
-  with a cumulative-or over the in-chunk trigger mask (see proof in
-  ops/rasterize_reference.py + the derivation notes below), and whole
-  chunks stop early once every pixel in the tile is done.
+  w @ [r,g,b,z]^T. The CUDA `done` latch at T < 1e-4 is reproduced exactly
+  with a cumulative-or over the in-chunk trigger mask (first-trigger index
+  equality: before the first trigger the unlatched running product equals
+  the true transmittance), and whole chunks stop early once every pixel in
+  the tile is done.
 - The BACKWARD kernel re-streams the same segments front-to-back. Using
   Q = Σ_j w_j v_j + dT·T_final (precomputed per pixel from forward outputs),
   the alpha gradient is dα_i = T_i·v_i - (Q - S_i)/(1-α_i) with S_i the
   running inclusive prefix of w·v — a single sweep, no reverse pass, no
-  atomics: every instance's gradient row is written exactly once by the one
-  tile that owns it (alignment guarantees no cross-tile chunk overlap), and
-  the per-Gaussian reduction happens outside as the VJP of the differentiable
-  jnp gather that packed the instances.
+  atomics: every instance's gradient column is written exactly once by the
+  one tile that owns it (chunk alignment guarantees no cross-tile overlap),
+  and the per-Gaussian reduction happens outside as the VJP of the
+  differentiable jnp gather that packed the instances.
 - CUDA parity notes: alpha is clamped at 0.99 for blending but its gradient
-  is propagated through the *unclamped* expression, exactly as the CUDA
+  propagates through the *unclamped* expression, exactly as the CUDA
   backward does; gradients flow only through contributing Gaussians.
 
 The custom_vjp boundary wraps only this binned-blending stage; projection,
@@ -37,26 +39,25 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PIX = 256          # pixels per 16x16 tile
-CHUNK = 128        # instances per streamed chunk (sublane dim of the scan)
-NCH = 16           # packed f32 channels per instance (one 64B row)
+PIX = 256          # pixels per 16x16 tile (sublane dim of the alpha matrix)
+CHUNK = 128        # instances per streamed chunk (lane dim)
+NCH = 16           # packed f32 channels per instance
 T_EPS = 1e-4
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
 
-# packed instance channel indices
+# packed instance channel indices (rows of the [NCH, P] SoA)
 C_MX, C_MY, C_CA, C_CB, C_CC, C_OP, C_R, C_G, C_B, C_Z, C_GID, C_VALID = range(12)
-# forward output rows (per tile, [8, 256])
+# forward output channels (per tile, [PIX, 8])
 O_R, O_G, O_B, O_Z, O_T, O_WMAX, O_GID, O_PAD = range(8)
-# backward pixel-grad input rows (per tile, [8, 256])
-D_R, D_G, D_B, D_Z, D_Q, _, _, _ = range(8)
+# backward pixel-grad input channels (per tile, [PIX, 8]): d(r,g,b,z), Q
+D_R, D_G, D_B, D_Z, D_Q = range(5)
 
 
 def _interpret_default() -> bool:
@@ -68,18 +69,19 @@ def _interpret_default() -> bool:
     return platform not in ("tpu", "axon")
 
 
-def _shift_down(x, s, fill):
+def _shift_right(x, s, fill):
+    """Shift along the lane axis (axis 1): out[:, i] = x[:, i-s]."""
     return jnp.concatenate(
-        [jnp.full((s,) + x.shape[1:], fill, x.dtype), x[:-s]], axis=0
+        [jnp.full(x.shape[:1] + (s,), fill, x.dtype), x[:, :-s]], axis=1
     )
 
 
 def _inclusive_scan(x, op, identity):
-    """Hillis-Steele prefix scan along axis 0 (log2 steps of shift+op)."""
+    """Hillis-Steele prefix scan along axis 1 (log2 steps of shift+op)."""
     s = 1
     y = x
-    while s < y.shape[0]:
-        y = op(y, _shift_down(y, s, identity))
+    while s < y.shape[1]:
+        y = op(y, _shift_right(y, s, identity))
         s *= 2
     return y
 
@@ -87,41 +89,53 @@ def _inclusive_scan(x, op, identity):
 def _chunk_quantities(data, px, py, T_in, done_in):
     """Shared fwd/bwd per-chunk math.
 
-    data: [CHUNK, NCH] packed instances; px/py: [1, PIX] pixel centers;
-    T_in/done_in: [1, PIX] carried transmittance / done latch.
-    Returns dict of [CHUNK, PIX] and [1, PIX] arrays.
+    data: [NCH, CHUNK] packed instances; px/py: [PIX, 1] pixel centers;
+    T_in: [PIX, 1] carried transmittance; done_in: [PIX, 1] f32 0/1 done
+    latch (booleans are avoided in while-loop carries — Mosaic cannot
+    legalize i1 vector yields).
+    Returns dict of [PIX, CHUNK] and [PIX, 1] arrays.
     """
-    mx = data[:, C_MX:C_MX + 1]
-    my = data[:, C_MY:C_MY + 1]
-    ca = data[:, C_CA:C_CA + 1]
-    cb = data[:, C_CB:C_CB + 1]
-    cc = data[:, C_CC:C_CC + 1]
-    op = data[:, C_OP:C_OP + 1]
-    vch = data[:, C_VALID:C_VALID + 1]
+    mx = data[C_MX:C_MX + 1, :]        # [1, CHUNK]
+    my = data[C_MY:C_MY + 1, :]
+    ca = data[C_CA:C_CA + 1, :]
+    cb = data[C_CB:C_CB + 1, :]
+    cc = data[C_CC:C_CC + 1, :]
+    op = data[C_OP:C_OP + 1, :]
+    vch = data[C_VALID:C_VALID + 1, :]
 
-    dx = px - mx                       # [CHUNK, PIX]
+    dx = px - mx                       # [PIX, CHUNK]
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     Gv = jnp.exp(power)
-    alpha_raw = op * Gv
-    alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
+    alpha = jnp.minimum(ALPHA_CLAMP, op * Gv)
     valid = (vch > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(valid, alpha, 0.0)
     om = 1.0 - alpha
 
     # T_i for each in-chunk gaussian: carried T times exclusive prefix prod
     incl_all = _inclusive_scan(om, jnp.multiply, 1.0)
-    excl = _shift_down(incl_all, 1, 1.0)
-    T_run = T_in * excl                # [CHUNK, PIX]
+    excl = _shift_right(incl_all, 1, 1.0)
+    T_run = T_in * excl                # [PIX, CHUNK]
     test_T = T_run * om
     trigger = valid & (test_T < T_EPS)
-    done_upto = _inclusive_scan(trigger, jnp.logical_or, False) | done_in
-    contribute = valid & ~done_upto
+    # or-scan via f32 max (Mosaic can't concatenate i1 vectors)
+    trig_scan = _inclusive_scan(
+        trigger.astype(jnp.float32), jnp.maximum, 0.0
+    )
+    contribute = valid & ~(trig_scan + done_in > 0.0)
     w = jnp.where(contribute, alpha * T_run, 0.0)
 
+    # Chunk totals as reductions (scan-tail slices break carry layouts and
+    # reduce_prod isn't lowered): factors are in (0, 1], so the inclusive
+    # product scan is monotone nonincreasing and its last element is its
+    # lane-min — an exact, supported reduction.
     factors = jnp.where(contribute, om, 1.0)
-    T_out = T_in * _inclusive_scan(factors, jnp.multiply, 1.0)[-1:, :]
-    done_out = done_in | jnp.any(trigger, axis=0, keepdims=True)
+    T_out = T_in * jnp.min(
+        _inclusive_scan(factors, jnp.multiply, 1.0), axis=1, keepdims=True
+    )
+    done_out = jnp.maximum(
+        done_in, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
+    )
     return dict(
         dx=dx, dy=dy, Gv=Gv, alpha=alpha, om=om, w=w, T_run=T_run,
         contribute=contribute, T_out=T_out, done_out=done_out,
@@ -129,7 +143,7 @@ def _chunk_quantities(data, px, py, T_in, done_in):
 
 
 def _pixel_coords(tile_idx, grid_x):
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     tile_y = tile_idx // grid_x
     tile_x = tile_idx - tile_y * grid_x
     px = (tile_x * 16 + lin % 16).astype(jnp.float32)
@@ -146,8 +160,9 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     px, py = _pixel_coords(t, grid_x)
 
     def get_dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            inst_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            inst_ref.at[:, pl.ds(off, CHUNK)],
             chunk_vmem.at[slot],
             sems.at[slot],
         )
@@ -158,7 +173,7 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
     def cond(state):
         c, T, done, acc, wmax, bgid = state
-        return (c < nchunks) & ~jnp.all(done)
+        return (c < nchunks) & (jnp.min(done) < 0.5)
 
     def body(state):
         c, T, done, acc, wmax, bgid = state
@@ -170,16 +185,16 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
         get_dma(c % 2, c).wait()
         data = chunk_vmem[c % 2]
         q = _chunk_quantities(data, px, py, T, done)
-        rgbz = data[:, C_R:C_R + 4]            # [CHUNK, 4]
+        rgbz = data[C_R:C_R + 4, :]            # [4, CHUNK]
+        w = q["w"]                              # [PIX, CHUNK]
         acc = acc + jax.lax.dot_general(
-            rgbz, q["w"], (((0,), (0,)), ((), ())),
+            w, rgbz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                       # [4, PIX]
-        w = q["w"]
-        wm_chunk = jnp.max(w, axis=0, keepdims=True)
-        gid = data[:, C_GID:C_GID + 1]
+        )                                       # [PIX, 4]
+        wm_chunk = jnp.max(w, axis=1, keepdims=True)
+        gid = data[C_GID:C_GID + 1, :]
         sel_gid = jnp.max(
-            jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=0,
+            jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=1,
             keepdims=True,
         )
         better = wm_chunk > wmax
@@ -189,11 +204,11 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
     init = (
         jnp.int32(0),
-        jnp.ones((1, PIX), jnp.float32),
-        jnp.zeros((1, PIX), bool),
-        jnp.zeros((4, PIX), jnp.float32),
-        jnp.zeros((1, PIX), jnp.float32),
-        jnp.full((1, PIX), -1.0, jnp.float32),
+        jnp.ones((PIX, 1), jnp.float32),
+        jnp.zeros((PIX, 1), jnp.float32),   # done latch as f32 0/1
+        jnp.zeros((PIX, 4), jnp.float32),
+        jnp.zeros((PIX, 1), jnp.float32),
+        jnp.full((PIX, 1), -1.0, jnp.float32),
     )
     c_fin, T, done, acc, wmax, bgid = jax.lax.while_loop(cond, body, init)
 
@@ -202,11 +217,9 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     def _():
         get_dma(c_fin % 2, c_fin).wait()
 
-    out_ref[0, O_R:O_R + 4, :] = acc
-    out_ref[0, O_T, :] = T[0]
-    out_ref[0, O_WMAX, :] = wmax[0]
-    out_ref[0, O_GID, :] = bgid[0]
-    out_ref[0, O_PAD, :] = jnp.zeros((PIX,), jnp.float32)
+    out_ref[0] = jnp.concatenate(
+        [acc, T, wmax, bgid, jnp.zeros((PIX, 1), jnp.float32)], axis=1
+    )
 
 
 def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
@@ -217,21 +230,23 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     nchunks = pl.cdiv(end - start, CHUNK)
     px, py = _pixel_coords(t, grid_x)
 
-    dpix = dpix_ref[0]                     # [8, PIX]
-    d_rgbz = dpix[D_R:D_R + 4, :]          # [4, PIX]
-    Q = dpix[D_Q:D_Q + 1, :]               # [1, PIX]
+    dpix = dpix_ref[0]                     # [PIX, 8]
+    d_rgbz = dpix[:, D_R:D_R + 4]          # [PIX, 4]
+    Q = dpix[:, D_Q:D_Q + 1]               # [PIX, 1]
 
     def get_dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            inst_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            inst_ref.at[:, pl.ds(off, CHUNK)],
             chunk_vmem.at[slot],
             sems.at[slot],
         )
 
     def put_dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dchunk_vmem.at[slot],
-            dinst_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            dinst_ref.at[:, pl.ds(off, CHUNK)],
             wsems.at[slot],
         )
 
@@ -241,7 +256,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
     def cond(state):
         c, T, done, S = state
-        return (c < nchunks) & ~jnp.all(done)
+        return (c < nchunks) & (jnp.min(done) < 0.5)
 
     def body(state):
         c, T, done, S = state
@@ -255,10 +270,10 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         q = _chunk_quantities(data, px, py, T, done)
         w, contribute = q["w"], q["contribute"]
 
-        rgbz = data[:, C_R:C_R + 4]
-        # v_{i,p} = c_i . d_rgb_p + z_i * d_z_p    [CHUNK, PIX]
+        rgbz = data[C_R:C_R + 4, :]            # [4, CHUNK]
+        # v_{p,i} = c_i . d_rgb_p + z_i * d_z_p    [PIX, CHUNK]
         v = jax.lax.dot_general(
-            rgbz, d_rgbz, (((1,), (0,)), ((), ())),
+            d_rgbz, rgbz, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         wv = w * v
@@ -268,32 +283,32 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             q["T_run"] * v - (Q - S_incl) / q["om"],
             0.0,
         )
-        op = data[:, C_OP:C_OP + 1]
+        op = data[C_OP:C_OP + 1, :]
         Gv = q["Gv"]
         dG_dop = jnp.where(contribute, Gv * dalpha, 0.0)
         dpower = jnp.where(contribute, op * Gv * dalpha, 0.0)
         dx, dy = q["dx"], q["dy"]
-        ca = data[:, C_CA:C_CA + 1]
-        cb = data[:, C_CB:C_CB + 1]
-        cc = data[:, C_CC:C_CC + 1]
+        ca = data[C_CA:C_CA + 1, :]
+        cb = data[C_CB:C_CB + 1, :]
+        cc = data[C_CC:C_CC + 1, :]
 
-        ones = jnp.ones((PIX, 1), jnp.float32)
+        ones = jnp.ones((1, PIX), jnp.float32)
 
-        def rowsum(x):                      # [CHUNK, PIX] -> [CHUNK, 1]
+        def colsum(x):                      # [PIX, CHUNK] -> [1, CHUNK]
             return jax.lax.dot_general(
-                x, ones, (((1,), (0,)), ((), ())),
+                ones, x, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        dmx = rowsum(dpower * (ca * dx + cb * dy))
-        dmy = rowsum(dpower * (cb * dx + cc * dy))
-        dca = rowsum(-0.5 * dpower * dx * dx)
-        dcb = rowsum(-dpower * dx * dy)
-        dcc = rowsum(-0.5 * dpower * dy * dy)
-        dop = rowsum(dG_dop)
-        # d color / d depth: [CHUNK, 4] = w @ d_rgbz^T
+        dmx = colsum(dpower * (ca * dx + cb * dy))
+        dmy = colsum(dpower * (cb * dx + cc * dy))
+        dca = colsum(-0.5 * dpower * dx * dx)
+        dcb = colsum(-dpower * dx * dy)
+        dcc = colsum(-0.5 * dpower * dy * dy)
+        dop = colsum(dG_dop)
+        # d color / d depth: [4, CHUNK] = d_rgbz^T @ w
         dcol = jax.lax.dot_general(
-            w, d_rgbz, (((1,), (1,)), ((), ())),
+            d_rgbz, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -303,17 +318,17 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         dchunk_vmem[c % 2] = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop, dcol,
-             jnp.zeros((CHUNK, NCH - 10), jnp.float32)],
-            axis=1,
+             jnp.zeros((NCH - 10, CHUNK), jnp.float32)],
+            axis=0,
         )
         put_dma(c % 2, c).start()
-        return c + 1, q["T_out"], q["done_out"], S_incl[-1:, :]
+        return c + 1, q["T_out"], q["done_out"], S + jnp.sum(wv, axis=1, keepdims=True)
 
     init = (
         jnp.int32(0),
-        jnp.ones((1, PIX), jnp.float32),
-        jnp.zeros((1, PIX), bool),
-        jnp.zeros((1, PIX), jnp.float32),
+        jnp.ones((PIX, 1), jnp.float32),
+        jnp.zeros((PIX, 1), jnp.float32),   # done latch as f32 0/1
+        jnp.zeros((PIX, 1), jnp.float32),
     )
     c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
 
@@ -330,24 +345,23 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         put_dma((c_fin - 1) % 2, c_fin - 1).wait()
 
 
-def _pad_inst(inst):
-    """Pad the packed instance buffer with one extra (benign) chunk so the
-    fixed-size chunk DMA at the final partial chunk stays in bounds."""
+def _pad_inst_T(instT):
+    """Pad the [NCH, P] buffer with one extra (benign) chunk so the fixed-
+    size DMA at the final partial chunk stays in bounds."""
     return jnp.concatenate(
-        [inst, jnp.zeros((CHUNK, inst.shape[1]), inst.dtype)], axis=0
+        [instT, jnp.zeros((instT.shape[0], CHUNK), instT.dtype)], axis=1
     )
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
-)
-def rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y, interpret=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y,
+                     interpret=None):
     """Blend packed instances into per-tile buffers.
 
     inst: [P, 16] float32 packed instances (see channel constants);
-    tile_start/tile_end: [T] int32 chunk-aligned segment ranges;
-    returns out_f [T, 8, 256] float32 (rows: r,g,b,depth,T_final,w_max,
-    best_gid, pad).
+    tile_start/tile_end: [T] int32 CHUNK-aligned segment ranges;
+    returns out_f [T, 256, 8] float32 (channels: r,g,b,depth,T_final,
+    w_max, best_gid, pad).
     """
     return _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y,
                                interpret)
@@ -357,25 +371,25 @@ def _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y, interpret):
     if interpret is None:
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
-    inst = _pad_inst(inst)
+    instT = _pad_inst_T(inst.T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, NCH), jnp.float32),
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, grid_x=grid_x),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_start, tile_end, inst)
+    )(tile_start, tile_end, instT)
 
 
 def _rasterize_fwd_rule(inst, tile_start, tile_end, grid_x, grid_y, interpret):
@@ -390,45 +404,45 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, res, g):
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
 
-    # Per-pixel backward inputs: rows 0-3 are d(rgb,z); row 4 is
+    # Per-pixel backward inputs: channels 0-3 are d(rgb,z); channel 4 is
     # Q = Σ_j w_j v_j + dT · T_final, assembled from forward outputs.
-    d_rgbz = g[:, O_R:O_R + 4, :]                          # [T, 4, PIX]
-    acc_rgbz = out[:, O_R:O_R + 4, :]
-    Q = jnp.sum(d_rgbz * acc_rgbz, axis=1, keepdims=True) + (
-        g[:, O_T:O_T + 1, :] * out[:, O_T:O_T + 1, :]
+    d_rgbz = g[:, :, O_R:O_R + 4]                          # [T, PIX, 4]
+    acc_rgbz = out[:, :, O_R:O_R + 4]
+    Q = jnp.sum(d_rgbz * acc_rgbz, axis=2, keepdims=True) + (
+        g[:, :, O_T:O_T + 1] * out[:, :, O_T:O_T + 1]
     )
     dpix = jnp.concatenate(
-        [d_rgbz, Q, jnp.zeros((num_tiles, 3, PIX), jnp.float32)], axis=1
+        [d_rgbz, Q, jnp.zeros((num_tiles, PIX, 3), jnp.float32)], axis=2
     )
 
-    inst_p = _pad_inst(inst)
-    dinst_init = jnp.zeros_like(inst_p)
+    instT = _pad_inst_T(inst.T)
+    dinst_init = jnp.zeros_like(instT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, NCH), jnp.float32),
-            pltpu.VMEM((2, CHUNK, NCH), jnp.float32),
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dinst = pl.pallas_call(
+    dinstT = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_x=grid_x),
-        out_shape=jax.ShapeDtypeStruct(inst_p.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(instT.shape, jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={4: 0},  # zero-initialized dinst is donated
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_end, inst_p, dpix, dinst_init)
-    return (dinst[:-CHUNK], None, None)
+    )(tile_start, tile_end, instT, dpix, dinst_init)
+    return (dinstT[:, :-CHUNK].T, None, None)
 
 
 rasterize_binned.defvjp(_rasterize_fwd_rule, _rasterize_bwd_rule)
