@@ -51,11 +51,22 @@ def render(
     scaling_modifier: float = 1.0,
     capacity_multiplier: int = 24,
     interpret: Optional[bool] = None,
+    tile_band=None,
 ):
     """Differentiable render of one view. Static: width/height/sh_degree.
 
     capacity_multiplier * N bounds the instance buffer (P); binning reports
     drops in aux["n_dropped"] so configs can be sized for exactness.
+
+    tile_band=(ty0, n_band_tiles): render ONLY the horizontal band of tile
+    rows [ty0, ty0+n_band_tiles) — the framebuffer-sharding primitive for
+    multi-chip rendering (SURVEY.md §5.7: each device rasterizes its band of
+    the tile grid against the replicated Gaussian set). ty0 may be traced
+    (e.g. a shard_map axis index); n_band_tiles is static. The returned
+    "render"/"depth"/... cover only the band's rows (n_band_tiles*16 tall,
+    possibly extending past `height` for the last band — callers crop);
+    "radii"/"visibility_filter" stay GLOBAL so densification statistics are
+    band-independent.
     """
     N = xyz.shape[0]
     grid_x = (width + TILE - 1) // TILE
@@ -97,9 +108,36 @@ def render(
     else:
         colors = colors_precomp
 
+    # Band restriction: clamp rects to the band's tile rows, shift tile/pixel
+    # coordinates so the band is a standalone (grid_x x n_band) sub-grid.
+    full_proj_for_stats = proj
+    band_height = height
+    if tile_band is not None:
+        ty0, n_band = tile_band
+        ty0 = jnp.asarray(ty0, jnp.int32)
+        bmin_y = jnp.clip(proj.tiles_min[:, 1], ty0, ty0 + n_band) - ty0
+        bmax_y = jnp.clip(proj.tiles_max[:, 1], ty0, ty0 + n_band) - ty0
+        visible_b = proj.visible & (bmax_y > bmin_y)
+        mean2d = mean2d - jnp.stack(
+            [jnp.zeros((), jnp.float32), (ty0 * TILE).astype(jnp.float32)]
+        )
+        proj = projection.Projected(
+            mean2d=mean2d,
+            conic=proj.conic,
+            depth=proj.depth,
+            radius=jnp.where(visible_b, proj.radius, 0),
+            tiles_min=jnp.stack([proj.tiles_min[:, 0], bmin_y], axis=-1),
+            tiles_max=jnp.stack([proj.tiles_max[:, 0], bmax_y], axis=-1),
+            visible=visible_b,
+        )
+        grid_y = n_band
+        band_height = n_band * TILE
+    else:
+        proj = proj._replace(mean2d=mean2d)
+
     capacity = int(capacity_multiplier) * max(N, 1)
     capacity = ((capacity + rp.CHUNK - 1) // rp.CHUNK) * rp.CHUNK
-    bins = bin_stopgrad(proj, width, height, capacity)
+    bins = bin_stopgrad(proj, width, band_height, capacity)
 
     gid = jnp.maximum(bins.gauss_id, 0)
     pad_valid = (bins.gauss_id >= 0).astype(jnp.float32)
@@ -129,7 +167,8 @@ def render(
     out_f = rp.rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y,
                                 interpret)
 
-    img = _assemble(out_f, grid_x, grid_y, height, width)  # [H, W, 8]
+    crop_h = height if tile_band is None else band_height
+    img = _assemble(out_f, grid_x, grid_y, crop_h, width)  # [crop_h, W, 8]
     T_final = img[..., rp.O_T]
     rgb = img[..., rp.O_R:rp.O_R + 3] + T_final[..., None] * bg[None, None, :]
     depth = img[..., rp.O_Z]
@@ -142,10 +181,10 @@ def render(
         "depth": depth,
         "alpha": 1.0 - T_final,
         "tidx": tidx,
-        "radii": proj.radius,
-        "visibility_filter": proj.radius > 0,
+        "radii": full_proj_for_stats.radius,
+        "visibility_filter": full_proj_for_stats.radius > 0,
         "n_dropped": bins.n_dropped,
-        "proj": proj,
+        "proj": full_proj_for_stats,
     }
 
 

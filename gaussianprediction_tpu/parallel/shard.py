@@ -1,0 +1,164 @@
+"""Multi-chip training step: tile-band + data-parallel via shard_map.
+
+The scaling design (SURVEY.md §5.7-5.8, BASELINE north star): inside a
+('data', 'tile') mesh each device
+  1. projects the REPLICATED Gaussian set (cheap, O(N)),
+  2. rasterizes only its band of tile rows for its data-group's camera
+     (ops/rasterize.py tile_band — the Pallas grid shrinks per device),
+  3. all-gathers the bands along 'tile' into the full frame and computes the
+     photometric loss once per data group,
+  4. the loss is pmean'd over 'data'.
+Differentiating through the shard_map then yields exactly the right
+communication for free: the all_gather transposes to a scatter of the
+band's pixel cotangents back to its owner, and the replicated parameter
+inputs transpose to a psum of per-Gaussian gradients across the whole mesh
+— gradient all-reduce overlapped with the backward by XLA scheduling.
+
+Batch semantics match the reference's gradient accumulation
+(/root/reference/train.py:112-133): loss summed over the camera batch,
+radii combined with max, visibility with any.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gaussianprediction_tpu.config import Config
+from gaussianprediction_tpu.models import deform as D
+from gaussianprediction_tpu.models.gaussians import GaussianState, get_shs
+from gaussianprediction_tpu.ops import rasterize
+from gaussianprediction_tpu.ops.projection import TILE
+from gaussianprediction_tpu.train import optimizer as opt_mod
+from gaussianprediction_tpu.train.step import deform_for_stage, time_with_noise
+from gaussianprediction_tpu.utils.image import dssim_l1_loss, l1_loss, psnr
+
+
+def make_sharded_train_step(
+    cfg: Config, stage: int, width: int, height: int, spatial_scale: float,
+    sh_degree: int, total_frame: int, bg, mesh: Mesh,
+    interpret: Optional[bool] = None, capacity_multiplier: int = 24,
+):
+    """Build the pjit'd multi-chip train step over `mesh` ('data','tile').
+
+    The camera batch size must equal the 'data' axis size. Signature of the
+    returned step mirrors train/step.py but takes batched cameras/gts/times:
+      step(state, opt_state, cams_batched, gts [B,H,W,3], times [B],
+           iteration, key) -> (state', opt_state', metrics)
+    """
+    bg = jnp.asarray(bg, jnp.float32)
+    n_tile = mesh.shape["tile"]
+    n_data = mesh.shape["data"]
+    grid_y = (height + TILE - 1) // TILE
+    band = -(-grid_y // n_tile)                 # tile rows per device
+    pad_h = band * n_tile * TILE                # band-padded frame height
+
+    def band_loss(params, dummy, state, cam, gt_full, t, iteration, key):
+        """Runs per-device inside shard_map; returns replicated loss."""
+        ty0 = jax.lax.axis_index("tile") * band
+        out = deform_for_stage(params, cfg, state, t, iteration, key, stage)
+        pkg = rasterize.render(
+            out.xyz, out.scaling, out.rotation, out.opacity, get_shs(params),
+            cam, width, height, bg, sh_degree=sh_degree, alive=state.alive,
+            means2d_dummy=dummy, interpret=interpret,
+            capacity_multiplier=capacity_multiplier,
+            tile_band=(ty0, band),
+        )
+        band_img = pkg["render"]                        # [band*16, W, 3]
+        full = jax.lax.all_gather(band_img, "tile", axis=0, tiled=True)
+        full = full[:height]                            # crop band padding
+        loss = dssim_l1_loss(full, gt_full, cfg.opt.lambda_dssim)
+        loss = loss + D.motion_feature_reg(
+            params, cfg, iteration, 2 if stage >= 2 else stage
+        )
+        # batch-sum over 'data' (reference sums batch losses, train.py:119)
+        loss = jax.lax.psum(loss, "data") / 1.0
+        aux = {
+            "l1": jax.lax.pmean(l1_loss(full, gt_full), "data"),
+            "psnr": jax.lax.pmean(psnr(full, gt_full), "data"),
+            "radii": jax.lax.pmax(pkg["radii"], "data"),
+            "visibility": jax.lax.pmax(
+                pkg["visibility_filter"].astype(jnp.int32), "data"
+            ) > 0,
+            "n_dropped": jax.lax.pmax(
+                jax.lax.pmax(pkg["n_dropped"], "tile"), "data"
+            ),
+        }
+        return loss, aux
+
+    def unbatched_cam(cams):
+        return jax.tree.map(lambda x: x[0], cams)
+
+    def step(state: GaussianState, opt_state, cams, gts, times, iteration,
+             key):
+        k_noise, k_time = jax.random.split(key)
+        times = jax.vmap(
+            lambda t: time_with_noise(cfg, t, iteration, k_time, stage,
+                                      total_frame)
+        )(times)
+        dummy = jnp.zeros((state.capacity, 2), jnp.float32)
+
+        def inner(params, dummy):
+            # per-device camera: strip the leading batch axis inside the map
+            def f(params, dummy, state, cam, gt, t, it, key):
+                return band_loss(
+                    params, dummy, state, unbatched_cam(cam), gt[0], t[0],
+                    it, key,
+                )
+            sm = shard_map(
+                f, mesh=mesh,
+                in_specs=(P(), P(), P(), jax.tree.map(
+                    lambda _: P("data"), cams), P("data"), P("data"),
+                    P(), P()),
+                out_specs=(P(), {
+                    "l1": P(), "psnr": P(), "radii": P(),
+                    "visibility": P(), "n_dropped": P(),
+                }),
+                check_vma=False,
+            )
+            return sm(params, dummy, state, cams, gts, times, iteration,
+                      k_noise)
+
+        (loss, aux), (grads, vs_grads) = jax.value_and_grad(
+            inner, argnums=(0, 1), has_aux=True
+        )(state.params, dummy)
+
+        vis = aux["visibility"]
+        vs_norm = jnp.linalg.norm(vs_grads, axis=-1)
+        in_densify = iteration < cfg.opt.densify_until_iter
+        if stage >= 2:
+            in_adaptive = (
+                (iteration < cfg.train.adaptive_end_iter
+                 + cfg.train.second_stage_iteration)
+                & (state.n_kpts() < cfg.model.kpt_capacity())
+            )
+        else:
+            in_adaptive = jnp.asarray(False)
+        do_stats = (in_densify | in_adaptive) & vis
+        state = state.replace(
+            max_radii2D=jnp.where(
+                do_stats, jnp.maximum(state.max_radii2D, aux["radii"]),
+                state.max_radii2D,
+            ),
+            xyz_gradient_accum=state.xyz_gradient_accum
+            + jnp.where(do_stats, vs_norm, 0.0),
+            xyz_gradient_accum_max=jnp.where(
+                do_stats & (vs_norm > state.xyz_gradient_accum_max),
+                vs_norm, state.xyz_gradient_accum_max,
+            ),
+            denom=state.denom + do_stats.astype(jnp.float32),
+        )
+        new_params, opt_state = opt_mod.adam_step(
+            state.params, grads, opt_state, cfg, max(stage, 1),
+            spatial_scale, iteration,
+        )
+        state = state.replace(params=new_params)
+        metrics = {"loss": loss, "l1": aux["l1"], "psnr": aux["psnr"],
+                   "n_dropped": aux["n_dropped"]}
+        return state, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1)), n_data

@@ -1,0 +1,144 @@
+"""Eval layer: metric suite + render drivers + render_kpts consistency."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianprediction_tpu.config import get_preset
+from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+from gaussianprediction_tpu.eval import metrics as M
+from gaussianprediction_tpu.eval import render as R
+from gaussianprediction_tpu.motion.dataset import (
+    build_windows, extract_trajectories,
+)
+from gaussianprediction_tpu.train.loop import Trainer
+
+
+def rnd_img(h, w, seed):
+    return np.random.default_rng(seed).uniform(0, 1, (h, w, 3)).astype(
+        np.float32
+    )
+
+
+class TestMetrics:
+    def test_identical_pairs(self):
+        imgs = [rnd_img(48, 48, i) for i in range(3)]
+        res = M.evaluate_pairs(imgs, imgs, compute_lpips=False)
+        assert res["mean"]["PSNR"] > 80
+        assert res["mean"]["SSIM"] == pytest.approx(1.0, abs=1e-4)
+        assert res["mean"]["D-SSIM"] == pytest.approx(0.0, abs=1e-4)
+
+    def test_dirs_roundtrip(self, tmp_path):
+        rd = tmp_path / "renders"
+        gd = tmp_path / "gt"
+        rd.mkdir(); gd.mkdir()
+        import imageio.v2 as imageio
+        for i in range(2):
+            img = (rnd_img(32, 32, i) * 255).astype(np.uint8)
+            imageio.imwrite(str(rd / f"{i:05d}.png"), img)
+            imageio.imwrite(str(gd / f"{i:05d}.png"), img)
+        res = M.evaluate_dirs(str(rd), str(gd))
+        assert os.path.exists(tmp_path / "results.json")
+        assert res["mean"]["PSNR"] > 40  # 8-bit quantized identity
+
+    def test_results_table(self, tmp_path):
+        import json
+        for scene in ("a", "b"):
+            d = tmp_path / scene
+            d.mkdir()
+            with open(d / "results.json", "w") as f:
+                json.dump({"PSNR": 30.0, "SSIM": 0.9, "MS-SSIM": None,
+                           "D-SSIM": 0.05, "LPIPS-vgg": None,
+                           "LPIPS-alex": None}, f)
+        table = M.results_table({"a": str(tmp_path / "a"),
+                                 "b": str(tmp_path / "b")})
+        assert "average" in table and "30.0000" in table
+
+    def test_lpips_gated_off(self):
+        from gaussianprediction_tpu.eval.lpips import try_load_lpips
+
+        os.environ.pop("GPT_LPIPS_WEIGHTS", None)
+        assert try_load_lpips() is None
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = get_preset("test")
+    info = synthetic_scene_info(
+        n_points=100, n_cams=8, n_test=2, width=48, height=48,
+        dynamic=True, interpret=True,
+    )
+    scene = Scene(info)
+    tr = Trainer(cfg, scene, interpret=True, quiet=True)
+    tr.run(iterations=140, model_path=None)  # through stage 3
+    return cfg, scene, tr
+
+
+class TestRenderDrivers:
+    def test_render_set(self, trained, tmp_path):
+        cfg, scene, tr = trained
+        renders, gts, fps = R.render_set(
+            tr.state, cfg, tr.iteration, scene.test_cameras,
+            np.zeros(3, np.float32), out_dir=str(tmp_path),
+            sh_degree=tr.active_sh_degree, interpret=True,
+        )
+        assert len(renders) == 2 and len(gts) == 2
+        assert fps > 0
+        assert os.path.exists(tmp_path / "renders" / "00000.png")
+        res = M.evaluate_pairs(renders, gts, compute_lpips=False)
+        assert res["mean"]["PSNR"] > 10  # trained-ish
+
+    def test_render_video(self, trained):
+        cfg, scene, tr = trained
+        frames = R.render_video(
+            tr.state, cfg, tr.iteration, scene.test_cameras[:2],
+            np.zeros(3, np.float32), interpolation=2, interpret=True,
+        )
+        assert len(frames) == 2
+        assert all(np.isfinite(f).all() for f in frames)
+
+    def test_render_train_sequence(self, trained):
+        cfg, scene, tr = trained
+        frames = R.render_train_sequence(
+            tr.state, cfg, tr.iteration, scene.train_cameras[:3],
+            scene.test_cameras[0], np.zeros(3, np.float32), interpret=True,
+        )
+        assert len(frames) == 3
+
+    def test_render_kpts_consistency(self, trained):
+        """Driving render_kpts with the model's OWN keypoint trajectory at
+        time t must reproduce the direct render at t (eval.py:140-141 math
+        consistency)."""
+        cfg, scene, tr = trained
+        cam = scene.test_cameras[0]
+        t = float(scene.train_cameras[3].time)
+        traj = extract_trajectories(
+            tr.state, cfg, [t], [], tr.iteration
+        )
+        frames = R.render_kpts(
+            tr.state, cfg, tr.iteration, [cam], np.zeros(3, np.float32),
+            traj.kpts_xyz_train, traj.kpts_r_train, view_id=0,
+            interpret=True,
+        )
+        fn = R.make_render_fn(
+            tr.state, cfg, tr.iteration, cam.width, cam.height,
+            np.zeros(3, np.float32), cfg.model.sh_degree, interpret=True,
+        )
+        direct, _, _ = fn(cam.to_device_dict(), jnp.float32(t))
+        direct = np.asarray(jnp.clip(direct, 0, 1))
+        np.testing.assert_allclose(frames[0], direct, atol=2e-3)
+
+    def test_trajectory_extraction(self, trained):
+        cfg, scene, tr = trained
+        times = [float(c.time) for c in scene.train_cameras[:5]]
+        traj = extract_trajectories(tr.state, cfg, times, times[:2],
+                                    tr.iteration)
+        k = int(tr.state.n_kpts())
+        assert traj.kpts_xyz_train.shape == (5, k, 3)
+        assert traj.kpts_r_train.shape == (5, k, 4)
+        assert traj.kpts_xyz_test.shape == (2, k, 3)
+        # trajectories actually move over time (dynamic scene)
+        motion = np.abs(traj.kpts_xyz_train[0] - traj.kpts_xyz_train[-1])
+        assert motion.max() > 1e-4

@@ -1,0 +1,157 @@
+"""Multi-chip sharding correctness on the 8-virtual-device CPU mesh
+(SURVEY.md §4e): band rendering stitches exactly; the sharded train step
+matches the single-device step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianprediction_tpu.config import get_preset
+from gaussianprediction_tpu.data.synthetic import orbit_camera, random_gaussians
+from gaussianprediction_tpu.models import gaussians as G
+from gaussianprediction_tpu.ops.rasterize import render
+from gaussianprediction_tpu.parallel.mesh import make_mesh
+from gaussianprediction_tpu.parallel.shard import make_sharded_train_step
+from gaussianprediction_tpu.train import optimizer as opt_mod
+from gaussianprediction_tpu.train.loop import set_super_keypoints
+from gaussianprediction_tpu.train.step import make_train_step
+
+W, H = 64, 64
+
+
+def setup(n=128):
+    cfg = get_preset("test")
+    g = random_gaussians(n, seed=0, scale_range=(-3.2, -2.0))
+    state = G.create_from_pcd(jax.random.PRNGKey(0), cfg, g["xyz"],
+                              g["colors"])
+    state = set_super_keypoints(state, cfg, jax.random.PRNGKey(1))
+    return cfg, state, g
+
+
+class TestBandRendering:
+    def test_bands_stitch_to_full_image(self):
+        cfg, state, g = setup()
+        cam = orbit_camera(0.4, width=W, height=H).to_device_dict()
+        p = state.params
+        from gaussianprediction_tpu.models.gaussians import (
+            opacity_act, rotation_act, scaling_act, get_shs,
+        )
+
+        args = (p["xyz"], scaling_act(p["scaling"]), p["rotation"],
+                opacity_act(p["opacity"]), get_shs(p))
+        full = render(*args, cam, W, H, jnp.zeros(3), sh_degree=1,
+                      alive=state.alive, interpret=True)["render"]
+        bands = []
+        n_bands, band = 4, 1  # 4 tile rows of 16px
+        for b in range(n_bands):
+            out = render(*args, cam, W, H, jnp.zeros(3), sh_degree=1,
+                         alive=state.alive, interpret=True,
+                         tile_band=(jnp.int32(b * band), band))
+            bands.append(out["render"])
+        stitched = jnp.concatenate(bands, axis=0)[:H]
+        np.testing.assert_allclose(stitched, full, atol=1e-5)
+
+    def test_band_visibility_stays_global(self):
+        cfg, state, g = setup()
+        cam = orbit_camera(0.4, width=W, height=H).to_device_dict()
+        from gaussianprediction_tpu.models.gaussians import (
+            opacity_act, rotation_act, scaling_act, get_shs,
+        )
+        p = state.params
+        args = (p["xyz"], scaling_act(p["scaling"]), p["rotation"],
+                opacity_act(p["opacity"]), get_shs(p))
+        full = render(*args, cam, W, H, jnp.zeros(3), sh_degree=1,
+                      alive=state.alive, interpret=True)
+        bandout = render(*args, cam, W, H, jnp.zeros(3), sh_degree=1,
+                         alive=state.alive, interpret=True,
+                         tile_band=(jnp.int32(0), 1))
+        np.testing.assert_array_equal(
+            np.asarray(full["visibility_filter"]),
+            np.asarray(bandout["visibility_filter"]),
+        )
+
+
+class TestShardedStep:
+    def test_matches_single_device(self):
+        if len(jax.devices("cpu")) < 4:
+            pytest.skip("needs 4 cpu devices")
+        cfg, state, g = setup()
+        opt_state = opt_mod.init_adam(state.params)
+        mesh = make_mesh(n_data=1, n_tile=4,
+                         devices=jax.devices("cpu")[:4])
+        iteration = jnp.int32(cfg.train.second_stage_iteration + 10)
+        cam = orbit_camera(0.4, width=W, height=H, time=0.3)
+        gt = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (H, W, 3)), jnp.float32
+        )
+        key = jax.random.PRNGKey(7)
+
+        # single-device step
+        single = make_train_step(
+            cfg, 2, W, H, 1.0, cfg.model.sh_degree, 8,
+            np.zeros(3, np.float32), interpret=True,
+        )
+        s1, o1, m1 = single(
+            state, opt_state, cam.to_device_dict(), gt,
+            jnp.float32(cam.time), iteration, key,
+        )
+
+        # sharded step (B=1, 4 tile bands)
+        sharded, B = make_sharded_train_step(
+            cfg, 2, W, H, 1.0, cfg.model.sh_degree, 8,
+            np.zeros(3, np.float32), mesh, interpret=True,
+        )
+        assert B == 1
+        cam_batch = jax.tree.map(
+            lambda x: jnp.asarray(x)[None], cam.to_device_dict()
+        )
+        # rebuild state: the single step donated the originals
+        _, state2, _ = setup()
+        opt2 = opt_mod.init_adam(state2.params)
+        s2, o2, m2 = sharded(
+            state2, opt2, cam_batch, gt[None],
+            jnp.asarray([cam.time], jnp.float32), iteration, key,
+        )
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s2.params["super_xyz"]),
+            np.asarray(s1.params["super_xyz"]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2.xyz_gradient_accum),
+            np.asarray(s1.xyz_gradient_accum), atol=1e-5,
+        )
+
+    def test_data_parallel_runs(self):
+        if len(jax.devices("cpu")) < 8:
+            pytest.skip("needs 8 cpu devices")
+        cfg, state, g = setup()
+        opt_state = opt_mod.init_adam(state.params)
+        mesh = make_mesh(n_data=2, n_tile=4,
+                         devices=jax.devices("cpu")[:8])
+        sharded, B = make_sharded_train_step(
+            cfg, 2, W, H, 1.0, cfg.model.sh_degree, 8,
+            np.zeros(3, np.float32), mesh, interpret=True,
+        )
+        assert B == 2
+        cams = [orbit_camera(0.2 + 0.4 * i, width=W, height=H, time=0.2 * i)
+                for i in range(B)]
+        cam_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[c.to_device_dict() for c in cams],
+        )
+        gts = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 1, (B, H, W, 3)),
+            jnp.float32,
+        )
+        iteration = jnp.int32(cfg.train.second_stage_iteration + 10)
+        before = np.asarray(state.params["super_xyz"]).copy()  # pre-donation
+        s2, o2, m = sharded(
+            state, opt_state, cam_batch, gts,
+            jnp.asarray([c.time for c in cams], jnp.float32), iteration,
+            jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(float(m["loss"]))
+        # params actually moved
+        assert not np.allclose(np.asarray(s2.params["super_xyz"]), before)
