@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Rasterizer throughput benchmark (driver entry: prints ONE JSON line).
+
+Measures differentiable-render fwd+bwd throughput in rays/s on the headline
+workload (BASELINE.md: "Rasterize fwd+bwd rays/s per chip"): a 200k-Gaussian
+cloud at 800x800 — the reference's production scale (max_gaussian_size,
+/root/reference/options/gaussian_option.py:47; D-NeRF frames are 800x800).
+
+vs_baseline compares against 30 Mrays/s, the fwd+bwd throughput class of
+the reference CUDA pipeline on its published hardware tier (3DGS-family
+training steps run ~20 ms/iter at 800x800x200k on an RTX 3090; the
+reference repo itself publishes no numbers — BASELINE.md).
+
+Timing forces a host sync per iteration (device->host scalar fetch):
+`block_until_ready` through the tunneled-TPU plugin returns at enqueue
+time, not completion.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_S = 30e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussianprediction_tpu.data.synthetic import (
+        orbit_camera, random_gaussians,
+    )
+    from gaussianprediction_tpu.ops import rasterize as R
+
+    on_accel = any(
+        d.platform in ("tpu", "axon") for d in jax.devices()
+    )
+    if on_accel:
+        W = H = 800
+        N = 200_000
+        interpret = False
+        iters = 20
+    else:  # CPU fallback (interpret mode): tiny proof-of-life shapes
+        W = H = 64
+        N = 1000
+        interpret = True
+        iters = 2
+
+    g = random_gaussians(N, seed=42, scale_range=(-5.2, -3.8))
+    cam = orbit_camera(0.5, width=W, height=H, uid=0).to_device_dict()
+    xyz = jnp.asarray(g["xyz"])
+    scal = jnp.exp(jnp.asarray(g["log_scales"]))
+    rot = jnp.asarray(g["rotation"])
+    op = jnp.asarray(
+        (1 / (1 + np.exp(-g["opacity_logit"]))).reshape(-1).astype(np.float32)
+    )
+    K = 16
+    shs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(N, 3, K)).astype(np.float32)
+        * 0.2
+    )
+
+    def loss(xyz, scal, rot, op, shs):
+        out = R.render(
+            xyz, scal, rot, op, shs, cam, W, H, jnp.zeros(3), sh_degree=3,
+            capacity_multiplier=10, interpret=interpret,
+        )
+        return jnp.mean(jnp.abs(out["render"] - 0.5)), out["n_dropped"]
+
+    grad_fn = jax.jit(
+        lambda *a: jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
+                                      has_aux=True)(*a)
+    )
+
+    # compile + warmup (forced host sync)
+    (l, nd), grads = grad_fn(xyz, scal, rot, op, shs)
+    _ = float(l)
+    n_dropped = int(nd)
+
+    t0 = time.time()
+    for _ in range(iters):
+        (l, nd), grads = grad_fn(xyz, scal, rot, op, shs)
+        _ = float(l)  # host sync
+    dt = (time.time() - t0) / iters
+    rays_per_s = W * H / dt
+
+    result = {
+        "metric": "rasterize_fwd_bwd_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        "detail": {
+            "width": W, "height": H, "n_gaussians": N,
+            "ms_per_iter": round(dt * 1000, 2),
+            "n_dropped": n_dropped,
+            "platform": jax.devices()[0].platform,
+            "note": "fwd+bwd through the full differentiable render "
+                    "(projection+SH+binning+Pallas blend), host-synced",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,22 +2,28 @@
 
 TPU-native replacement for the duplicate-key radix sort + identifyTileRanges
 stage of the CUDA rasterizer (reference submodule N1). Design (SURVEY.md
-§7.3 item 2): everything is static-shape —
+§7.3 item 2): everything is static-shape and — crucially — SCATTER-FREE:
+XLA scatters are semi-serialized on TPU (~65 ms for the 12.8M-element
+footprint scatter of a production scene) while sorts and gathers are fast,
+so every layout step is expressed as a gather:
 
 1. Sort Gaussians globally by view depth ONCE ([N] keys, cheap).
-2. In depth order, each visible Gaussian owns `tiles_touched` consecutive
-   instance slots (exclusive cumsum of rect areas). Instances are scattered
-   into a fixed-capacity buffer of P slots with an unrolled loop over the
-   (static) per-Gaussian tile-footprint bound — each k-th footprint slot is
-   one vectorized scatter.
-3. A single STABLE sort of the P instances by tile id then preserves depth
-   order within each tile (this replaces the CUDA 64-bit tile|depth key).
-4. Per-tile [start, end) ranges come from a searchsorted over tile ids.
+2. In depth order, Gaussian g owns `count[g]` consecutive instance slots
+   (exclusive cumsum of clamped rect areas). The compact instance list is
+   materialized by the inverse map: slot j belongs to gaussian
+   g(j) = searchsorted(offsets, j, 'right')-1 with in-rect index
+   k(j) = j - offsets[g(j)] — a vectorized binary search + gathers.
+3. One STABLE sort of the P instances by tile id preserves depth order
+   within each tile (replacing the CUDA 64-bit tile|depth key).
+4. Per-tile [start, end) ranges via searchsorted over tile ids.
+5. (align > 1) The chunk-aligned layout — required so the Pallas backward's
+   fixed-size chunk writes never cross tile boundaries — is ALSO a gather:
+   padded slot j holds source instance ts[t(j)] + (j - padded_start[t(j)])
+   where t(j) = searchsorted(padded_start, j, 'right')-1.
 
 Overflow policy: instances beyond capacity P, and footprint slots beyond
-MAX_TILES_PER_GAUSSIAN, are dropped (tile id = SENTINEL sorts last). The
-returned `n_dropped` lets callers size P so results are exact on target
-scenes (BASELINE scenes fit comfortably; see tests/test_binning.py).
+max_tiles_per_gaussian, are dropped; `n_dropped` reports the loss so
+configs can size P for exactness on target scenes.
 """
 from __future__ import annotations
 
@@ -29,12 +35,20 @@ from gaussianprediction_tpu.ops.projection import TILE, Projected
 
 
 class Binning(NamedTuple):
-    gauss_id: jnp.ndarray     # [P] int32 gaussian index per instance (capped)
-    tile_id: jnp.ndarray      # [P] int32 owning tile (SENTINEL = unused slot)
+    gauss_id: jnp.ndarray     # [P] int32 gaussian index (-1 = padding slot)
+    tile_id: jnp.ndarray      # [P] int32 owning tile (SENTINEL = unused)
     tile_start: jnp.ndarray   # [T] int32 first instance of each tile
     tile_end: jnp.ndarray     # [T] int32 one-past-last instance
     n_instances: jnp.ndarray  # [] int32 valid instances (pre-drop count)
     n_dropped: jnp.ndarray    # [] int32 instances lost to capacity/footprint
+
+
+def _inverse_ranges(starts, queries, n_upper):
+    """For monotonically nondecreasing `starts` [M], map each query position
+    to the range index it falls in: searchsorted(starts, q, 'right') - 1."""
+    return (
+        jnp.searchsorted(starts, queries, side="right").astype(jnp.int32) - 1
+    )
 
 
 def bin_gaussians(
@@ -42,14 +56,13 @@ def bin_gaussians(
     width: int,
     height: int,
     capacity: int,
-    max_tiles_per_gaussian: int = 128,
+    max_tiles_per_gaussian: int = 64,
     align: int = 1,
 ) -> Binning:
     """Build the per-tile instance list. All shape params are static.
 
     align > 1 pads each tile's segment to a multiple of `align` slots
-    (padding rows have gauss_id = -1 / tile_id = SENTINEL); required by the
-    Pallas kernels whose chunked DMA reads/writes assume aligned segments.
+    (padding rows have gauss_id = -1 / tile_id = SENTINEL).
     """
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
@@ -66,26 +79,21 @@ def bin_gaussians(
     rect_h = tmax[:, 1] - tmin[:, 1]
     count_full = jnp.where(vis, rect_w * rect_h, 0)
     count = jnp.minimum(count_full, max_tiles_per_gaussian)
-    offsets = jnp.cumsum(count) - count          # exclusive cumsum
+    offsets = (jnp.cumsum(count) - count).astype(jnp.int32)
     total = offsets[-1] + count[-1]
 
-    tile_id = jnp.full((capacity,), sentinel, jnp.int32)
-    gauss_id = jnp.zeros((capacity,), jnp.int32)
-
-    # 2. footprint expansion as ONE flattened scatter: slot k of gaussian i
-    # is the k-th tile of its rect (row-major). Invalid/overflow slots are
-    # routed to index `capacity`, which mode="drop" discards.
-    K = max_tiles_per_gaussian
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]              # [1, K]
-    valid = (k < count[:, None]) & ((offsets[:, None] + k) < capacity)
-    rw = jnp.maximum(rect_w, 1)[:, None]
-    ty = tmin[:, 1:2] + k // rw
-    tx = tmin[:, 0:1] + k % rw
-    tid = (ty * grid_x + tx).reshape(-1)
-    idx = jnp.where(valid, offsets[:, None] + k, capacity).reshape(-1)
-    gids = jnp.broadcast_to(order[:, None], valid.shape).reshape(-1)
-    tile_id = tile_id.at[idx].set(tid, mode="drop")
-    gauss_id = gauss_id.at[idx].set(gids, mode="drop")
+    # 2. compact expansion by inverse lookup (gathers only)
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    g = _inverse_ranges(offsets, jnp.minimum(j, total - 1), capacity)
+    g = jnp.clip(g, 0, count.shape[0] - 1)
+    k = j - offsets[g]
+    # row-major k-th tile of g's rect
+    rw = jnp.maximum(rect_w[g], 1)
+    ty = tmin[g, 1] + k // rw
+    tx = tmin[g, 0] + k % rw
+    valid = j < jnp.minimum(total, capacity)
+    tile_id = jnp.where(valid, ty * grid_x + tx, sentinel)
+    gauss_id = jnp.where(valid, order[g], 0)
 
     # 3. stable sort by tile id keeps depth order within tiles
     perm = jnp.argsort(tile_id, stable=True)
@@ -101,31 +109,35 @@ def bin_gaussians(
     n_dropped = jnp.sum(count_full) - n_valid
 
     if align > 1:
-        # 5. re-layout so every tile's segment starts on an `align` boundary:
-        # the Pallas backward writes per-instance gradients in fixed `align`-
-        # sized chunks, and alignment guarantees a chunk never crosses into
-        # another tile's rows (deterministic, race-free by construction).
+        # 5. chunk-aligned re-layout, as a gather: padded slot j of tile t
+        # holds source instance tile_start[t] + (j - padded_start[t]).
         counts = tile_end - tile_start
         padded_counts = ((counts + align - 1) // align) * align
         padded_start = (jnp.cumsum(padded_counts) - padded_counts).astype(
             jnp.int32
         )
-        # new position of instance j of tile t: padded_start[t] + (j - start[t])
-        owner = tile_id  # sorted; sentinel rows map nowhere
-        in_tile_pos = jnp.arange(capacity, dtype=jnp.int32) - tile_start[
-            jnp.clip(owner, 0, num_tiles - 1)
-        ]
-        new_pos = padded_start[jnp.clip(owner, 0, num_tiles - 1)] + in_tile_pos
-        new_pos = jnp.where(owner < sentinel, new_pos, capacity)
-        new_tile = jnp.full((capacity,), sentinel, jnp.int32)
-        new_gid = jnp.full((capacity,), -1, jnp.int32)
-        new_tile = new_tile.at[new_pos].set(tile_id, mode="drop")
-        new_gid = new_gid.at[new_pos].set(gauss_id, mode="drop")
-        over = jnp.sum((owner < sentinel) & (new_pos >= capacity))
+        padded_total = padded_start[-1] + padded_counts[-1]
+        t_of = _inverse_ranges(padded_start, jnp.minimum(
+            j, padded_total - 1), capacity)
+        t_of = jnp.clip(t_of, 0, num_tiles - 1)
+        in_tile = j - padded_start[t_of]
+        src = tile_start[t_of] + in_tile
+        real = (in_tile < counts[t_of]) & (j < padded_total)
+        src = jnp.clip(src, 0, capacity - 1)
+        new_tile = jnp.where(real, tile_id[src], sentinel)
+        new_gid = jnp.where(real, gauss_id[src], -1)
+        # instances whose padded position falls beyond capacity are lost
+        lost = jnp.sum(
+            jnp.where(padded_start + counts > capacity,
+                      jnp.minimum(counts, padded_start + counts - capacity),
+                      0)
+        )
         tile_id, gauss_id = new_tile, new_gid
-        tile_start = padded_start
-        tile_end = padded_start + counts
-        n_dropped = n_dropped + over
+        # clamp ranges into the buffer (capacity is CHUNK-aligned upstream,
+        # so clamped starts stay aligned)
+        tile_start = jnp.minimum(padded_start, capacity)
+        tile_end = jnp.minimum(padded_start + counts, capacity)
+        n_dropped = n_dropped + lost
 
     return Binning(
         gauss_id=gauss_id,

@@ -1,0 +1,278 @@
+"""Fused, scatter-free instance-stream construction (fast binning + packing).
+
+The performance-critical replacement for bin_gaussians + the packing gather
+in the render path. Motivation (measured on TPU v5e, 200k Gaussians /
+800x800, see git history): XLA TPU scatters and random gathers cost
+50-70 ms per call while `lax.sort` CARRYING VALUES is ~1-3 ms and cumsums/
+monotone row-gathers are a few ms. So the whole binning+packing pipeline is
+re-expressed around one value-carrying sort:
+
+1. depth-sort the per-Gaussian channel matrix (one lax.sort, all 16 packed
+   channels + rect info carried as values);
+2. rect capping (to <= K tiles, expressible as a sub-rect) and instance
+   counts/offsets by cumsum;
+3. compaction to the capacity-P instance list via the CUMSUM-INVERSE map
+   (one tiny scatter-add of N ones + a cumsum gives slot->gaussian), then
+   ONE monotone row-gather of the channel matrix;
+4. per-tile counts via the 2D CORNER-DIFFERENCE histogram (4 scatter-adds
+   of N ones into the (gy+1, gx+1) grid + 2D cumsum) -> exact padded
+   per-tile segment starts with NO searchsorted/segment_sum;
+5. CHUNK-alignment via DUMMY ENTRIES: for each tile, (padded-count) dummy
+   rows keyed by the tile id are appended after the reals, so the single
+   stable sort by tile id lands every tile's segment at its padded start —
+   no re-layout pass at all;
+6. one stable lax.sort by tile id carrying all 16 channels.
+
+The custom VJP avoids the 65 ms scatter-add that plain AD of a packing
+gather would emit: gradients are reduced per-Gaussian by sorting the
+per-instance cotangents by gaussian id (free) and taking boundary
+differences of a cumulative sum (the sorted-run reduction).
+
+Capacity overflow policy: per-Gaussian footprints are capped to a sub-rect
+of <= max_tiles tiles; if total instances still exceed capacity the
+trailing (deepest) instances are dropped AND the corner histogram
+over-counts — `n_dropped` flags this so callers resize capacity (render
+asserts in tests; production configs are sized for zero drops).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussianprediction_tpu.ops.projection import TILE, Projected
+from gaussianprediction_tpu.ops.rasterize_pallas import CHUNK, NCH
+
+
+def _cummax(x):
+    """Log-step running max (lax.cummax lowers ~1000x slower on TPU)."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [jnp.full((s,), jnp.iinfo(x.dtype).min
+                      if jnp.issubdtype(x.dtype, jnp.integer)
+                      else -jnp.inf, x.dtype), x[:-s]]
+        )
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
+class InstanceStream(NamedTuple):
+    inst: jnp.ndarray        # [P', 16] packed sorted instances
+    tile_start: jnp.ndarray  # [T]
+    tile_end: jnp.ndarray    # [T]
+    n_dropped: jnp.ndarray   # [] int32
+
+
+def _capped_rect(tmin, tmax, max_tiles: int):
+    """Cap a tile rect to <= max_tiles tiles while staying a rect (keep the
+    top-left sub-rect: required so counts remain corner-histogram-able)."""
+    rw = jnp.maximum(tmax[:, 0] - tmin[:, 0], 0)
+    rh = jnp.maximum(tmax[:, 1] - tmin[:, 1], 0)
+    rw_c = jnp.minimum(rw, max_tiles)
+    rh_c = jnp.minimum(rh, jnp.maximum(max_tiles // jnp.maximum(rw_c, 1), 1))
+    rh_c = jnp.where(rw > 0, rh_c, 0)
+    return rw_c, rh_c
+
+
+def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
+                        grid_x: int, grid_y: int, capacity: int,
+                        max_tiles: int):
+    """feat: [N, 10] differentiable channels (mx,my,ca,cb,cc,op,r,g,b,z).
+
+    Returns (InstanceStream, residuals for the VJP)."""
+    N = feat.shape[0]
+    num_tiles = grid_x * grid_y
+    sentinel = jnp.int32(num_tiles)
+
+    rw0, rh0 = _capped_rect(tiles_min, tiles_max, max_tiles)
+    rw = jnp.where(visible, rw0, 0)
+    rh = jnp.where(visible, rh0, 0)
+
+    # 1. depth sort: 2-operand (key, idx) sort + one row gather. NOTE:
+    # variadic lax.sort with >2 operands compile-hangs on this TPU stack
+    # (minutes even at N=200k), so all value movement is via row gathers.
+    gidx = jnp.arange(N, dtype=jnp.int32)
+    _, order = jax.lax.sort((depth, gidx), num_keys=1, is_stable=True)
+    gmat = jnp.concatenate(
+        [
+            feat,
+            tiles_min[:, 0:1].astype(jnp.float32),
+            tiles_min[:, 1:2].astype(jnp.float32),
+            rw[:, None].astype(jnp.float32),
+            rh[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 14] in original order
+    gmat_s = gmat[order]                         # depth-sorted row gather
+    feat_s = gmat_s[:, :10]
+    tminx_s = gmat_s[:, 10].astype(jnp.int32)
+    tminy_s = gmat_s[:, 11].astype(jnp.int32)
+    rw_s = gmat_s[:, 12].astype(jnp.int32)
+    rh_s = gmat_s[:, 13].astype(jnp.int32)
+    gid_s = order
+
+    count = rw_s * rh_s
+    offsets = (jnp.cumsum(count) - count).astype(jnp.int32)
+    total = offsets[-1] + count[-1]
+
+    # 3. cumsum-inverse compaction: slot j -> depth-rank g. Zero-count
+    # gaussians must never own slots, so scatter-MAX the (rank+1) of
+    # counting gaussians at their offsets and take the running max.
+    rank1 = jnp.where(count > 0, jnp.arange(N, dtype=jnp.int32) + 1, 0)
+    ind = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
+        rank1, mode="drop"
+    )
+    g_of = _cummax(ind) - 1                       # [P] monotone
+    g_of = jnp.clip(g_of, 0, N - 1)
+
+    # one monotone row-gather of the full channel matrix
+    permat = jnp.concatenate(
+        [
+            feat_s,
+            offsets.astype(jnp.float32)[:, None],
+            tminx_s.astype(jnp.float32)[:, None],
+            tminy_s.astype(jnp.float32)[:, None],
+            rw_s.astype(jnp.float32)[:, None],
+            gid_s.astype(jnp.float32)[:, None],
+            jnp.zeros((N, 1), jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 16]
+    rows = permat[g_of]                           # [P, 16] monotone gather
+
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    offs = rows[:, 10].astype(jnp.int32)
+    k = j - offs
+    rwj = jnp.maximum(rows[:, 13].astype(jnp.int32), 1)
+    ty = rows[:, 12].astype(jnp.int32) + k // rwj
+    tx = rows[:, 11].astype(jnp.int32) + k % rwj
+    valid = j < jnp.minimum(total, capacity)
+    key = jnp.where(valid, ty * grid_x + tx, sentinel)
+
+    validf = valid.astype(jnp.float32)
+    inst_real = jnp.concatenate(
+        [
+            rows[:, :10] * validf[:, None],
+            jnp.where(valid, rows[:, 14], -1.0)[:, None],  # gid (f32)
+            validf[:, None],                               # valid channel
+            jnp.zeros((capacity, NCH - 12), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    # 4. per-tile counts via corner-difference histogram
+    gx1, gy1 = grid_x + 1, grid_y + 1
+    x0 = tiles_min[:, 0]
+    y0 = tiles_min[:, 1]
+    x1 = x0 + rw
+    y1 = y0 + rh
+    one = jnp.where(rw * rh > 0, 1, 0)
+    grid = jnp.zeros((gy1, gx1), jnp.int32)
+    grid = grid.at[y0, x0].add(one, mode="drop")
+    grid = grid.at[y0, x1].add(-one, mode="drop")
+    grid = grid.at[y1, x0].add(-one, mode="drop")
+    grid = grid.at[y1, x1].add(one, mode="drop")
+    counts_t = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
+        :grid_y, :grid_x
+    ].reshape(-1)                                  # [T]
+
+    padded_t = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
+    pstart = (jnp.cumsum(padded_t) - padded_t).astype(jnp.int32)
+
+    # 5. dummy alignment entries
+    TC = num_tiles * CHUNK
+    d_tile = jnp.repeat(
+        jnp.arange(num_tiles, dtype=jnp.int32), CHUNK
+    )
+    d_rank = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), num_tiles)
+    d_active = d_rank < (padded_t - counts_t)[d_tile]
+    d_key = jnp.where(d_active, d_tile, sentinel)
+    d_inst = jnp.zeros((TC, NCH), jnp.float32).at[:, 10].set(-1.0)
+
+    # 6. one stable 2-operand sort by tile id (sorting the row index, then
+    # one row gather: variadic-operand sorts compile pathologically slowly
+    # on TPU — minutes for 17 operands — while (key, idx) sorts are fast)
+    all_key = jnp.concatenate([key, d_key])
+    all_inst = jnp.concatenate([inst_real, d_inst], axis=0)
+    Pp = capacity + TC
+    _, perm = jax.lax.sort(
+        (all_key, jnp.arange(Pp, dtype=jnp.int32)), num_keys=1,
+        is_stable=True,
+    )
+    inst = all_inst[perm]                          # [P+TC, 16] row gather
+
+    tile_start = jnp.minimum(pstart, Pp)
+    tile_end = jnp.minimum(pstart + counts_t, Pp)
+
+    area_full = jnp.where(
+        visible,
+        jnp.maximum(tiles_max[:, 0] - tiles_min[:, 0], 0)
+        * jnp.maximum(tiles_max[:, 1] - tiles_min[:, 1], 0),
+        0,
+    )
+    n_dropped = jnp.sum(area_full) - jnp.sum(count) + jnp.maximum(
+        total - capacity, 0
+    )
+
+    stream = InstanceStream(inst, tile_start, tile_end, n_dropped)
+    residuals = (inst[:, 10], count, gid_s, feat.shape)
+    return stream, residuals
+
+
+def build_instances_bwd(residuals, d_inst):
+    """Per-Gaussian gradient reduction: sorted-run cumsum differences."""
+    gid_f, count_depth, gid_s, feat_shape = residuals
+    N, F = feat_shape
+    Pp = gid_f.shape[0]
+    gid = gid_f.astype(jnp.int32)                 # -1 for dummies/invalid
+
+    d10 = d_inst[:, :10]
+    _, perm = jax.lax.sort(
+        (gid, jnp.arange(Pp, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    dsort = d10[perm]                             # [Pp, 10] sorted by gid
+
+    # per-ID instance counts: inverse-permute depth-order counts
+    counts_id = jnp.zeros((N,), jnp.int32).at[gid_s].set(count_depth)
+    n_neg = Pp - jnp.sum(counts_id)               # dummies + invalid slots
+    ends = n_neg + jnp.cumsum(counts_id)
+    starts = ends - counts_id
+
+    cs = jnp.concatenate(
+        [jnp.zeros((1, 10), jnp.float32), jnp.cumsum(dsort, axis=0)], axis=0
+    )
+    dfeat = cs[ends] - cs[starts]                 # [N, 10] monotone gathers
+    return (dfeat,)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def build_instances(feat, depth, tiles_min, tiles_max, visible,
+                    grid_x, grid_y, capacity, max_tiles):
+    """Differentiable fused pack+bin; gradients flow to `feat` only."""
+    stream, _ = build_instances_fwd(
+        feat, depth, tiles_min, tiles_max, visible, grid_x, grid_y,
+        capacity, max_tiles,
+    )
+    return stream
+
+
+def _bi_fwd(feat, depth, tiles_min, tiles_max, visible, grid_x, grid_y,
+            capacity, max_tiles):
+    stream, res = build_instances_fwd(
+        feat, depth, tiles_min, tiles_max, visible, grid_x, grid_y,
+        capacity, max_tiles,
+    )
+    return stream, res
+
+
+def _bi_bwd(grid_x, grid_y, capacity, max_tiles, res, g):
+    (dfeat,) = build_instances_bwd(res, g.inst)
+    return (dfeat, None, None, None, None)
+
+
+build_instances.defvjp(_bi_fwd, _bi_bwd)

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from gaussianprediction_tpu.ops import binning, projection
+from gaussianprediction_tpu.ops import binning, instance_stream, projection
 from gaussianprediction_tpu.ops import rasterize_pallas as rp
 from gaussianprediction_tpu.ops.projection import TILE
 from gaussianprediction_tpu.utils import sh as shlib
@@ -52,6 +52,8 @@ def render(
     capacity_multiplier: int = 24,
     interpret: Optional[bool] = None,
     tile_band=None,
+    fast_binning: bool = True,
+    max_tiles: int = 64,
 ):
     """Differentiable render of one view. Static: width/height/sh_degree.
 
@@ -137,10 +139,6 @@ def render(
 
     capacity = int(capacity_multiplier) * max(N, 1)
     capacity = ((capacity + rp.CHUNK - 1) // rp.CHUNK) * rp.CHUNK
-    bins = bin_stopgrad(proj, width, band_height, capacity)
-
-    gid = jnp.maximum(bins.gauss_id, 0)
-    pad_valid = (bins.gauss_id >= 0).astype(jnp.float32)
     opacity = opacity.reshape(-1)
     feat = jnp.concatenate(
         [
@@ -151,19 +149,34 @@ def render(
         ],
         axis=-1,
     )  # [N, 10]
-    inst_feat = feat[gid] * pad_valid[:, None]
-    inst = jnp.concatenate(
-        [
-            inst_feat,
-            (bins.gauss_id.astype(jnp.float32))[:, None],
-            pad_valid[:, None],
-            jnp.zeros((capacity, rp.NCH - 12), jnp.float32),
-        ],
-        axis=-1,
-    )
 
-    tile_start = jax.lax.stop_gradient(bins.tile_start)
-    tile_end = jax.lax.stop_gradient(bins.tile_end)
+    if fast_binning:
+        # fused scatter-free pack+bin (ops/instance_stream.py)
+        sg = jax.lax.stop_gradient
+        stream = instance_stream.build_instances(
+            feat, sg(proj.depth), sg(proj.tiles_min), sg(proj.tiles_max),
+            sg(proj.visible), grid_x, grid_y, capacity, max_tiles,
+        )
+        inst = stream.inst
+        tile_start, tile_end = stream.tile_start, stream.tile_end
+        n_dropped = stream.n_dropped
+    else:
+        bins = bin_stopgrad(proj, width, band_height, capacity)
+        gid = jnp.maximum(bins.gauss_id, 0)
+        pad_valid = (bins.gauss_id >= 0).astype(jnp.float32)
+        inst_feat = feat[gid] * pad_valid[:, None]
+        inst = jnp.concatenate(
+            [
+                inst_feat,
+                (bins.gauss_id.astype(jnp.float32))[:, None],
+                pad_valid[:, None],
+                jnp.zeros((capacity, rp.NCH - 12), jnp.float32),
+            ],
+            axis=-1,
+        )
+        tile_start = jax.lax.stop_gradient(bins.tile_start)
+        tile_end = jax.lax.stop_gradient(bins.tile_end)
+        n_dropped = bins.n_dropped
     out_f = rp.rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y,
                                 interpret)
 
@@ -183,7 +196,7 @@ def render(
         "tidx": tidx,
         "radii": full_proj_for_stats.radius,
         "visibility_filter": full_proj_for_stats.radius > 0,
-        "n_dropped": bins.n_dropped,
+        "n_dropped": n_dropped,
         "proj": full_proj_for_stats,
     }
 

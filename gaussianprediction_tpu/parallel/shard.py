@@ -77,15 +77,16 @@ def make_sharded_train_step(
         )
         # batch-sum over 'data' (reference sums batch losses, train.py:119)
         loss = jax.lax.psum(loss, "data") / 1.0
+        sg = jax.lax.stop_gradient
         aux = {
-            "l1": jax.lax.pmean(l1_loss(full, gt_full), "data"),
-            "psnr": jax.lax.pmean(psnr(full, gt_full), "data"),
-            "radii": jax.lax.pmax(pkg["radii"], "data"),
+            "l1": jax.lax.pmean(sg(l1_loss(full, gt_full)), "data"),
+            "psnr": jax.lax.pmean(sg(psnr(full, gt_full)), "data"),
+            "radii": jax.lax.pmax(sg(pkg["radii"]), "data"),
             "visibility": jax.lax.pmax(
-                pkg["visibility_filter"].astype(jnp.int32), "data"
+                sg(pkg["visibility_filter"]).astype(jnp.int32), "data"
             ) > 0,
             "n_dropped": jax.lax.pmax(
-                jax.lax.pmax(pkg["n_dropped"], "tile"), "data"
+                jax.lax.pmax(sg(pkg["n_dropped"]), "tile"), "data"
             ),
         }
         return loss, aux
