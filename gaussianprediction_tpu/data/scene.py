@@ -80,6 +80,8 @@ def synthetic_scene_info(
     )
     from gaussianprediction_tpu.ops.rasterize import render as raster_render
 
+    import jax
+
     g = random_gaussians(n_points, seed=seed, scale_range=(-3.2, -2.0))
     opac = (1.0 / (1.0 + np.exp(-(g["opacity_logit"] + 1.5)))).astype(
         np.float32
@@ -96,17 +98,24 @@ def synthetic_scene_info(
             )
         )
     bg = jnp.zeros(3)
+
+    @jax.jit
+    def render_one(xyz, cam):
+        out = raster_render(
+            xyz, jnp.exp(jnp.asarray(g["log_scales"])),
+            jnp.asarray(g["rotation"]), jnp.asarray(opac), None,
+            cam, width, height, bg,
+            colors_precomp=jnp.asarray(g["colors"]), interpret=interpret,
+        )
+        return jnp.clip(out["render"], 0.0, 1.0)
+
     for cam in cams:
         xyz = (
             swirl_positions(g["xyz"], cam.time) if dynamic else g["xyz"]
         )
-        out = raster_render(
-            jnp.asarray(xyz), jnp.exp(jnp.asarray(g["log_scales"])),
-            jnp.asarray(g["rotation"]), jnp.asarray(opac), None,
-            cam.to_device_dict(), width, height, bg,
-            colors_precomp=jnp.asarray(g["colors"]), interpret=interpret,
+        cam.image = np.asarray(
+            render_one(jnp.asarray(xyz), cam.to_device_dict())
         )
-        cam.image = np.asarray(jnp.clip(out["render"], 0.0, 1.0))
     rng = np.random.default_rng(seed + 1)
     init_pts = g["xyz"] + rng.normal(0, 0.05, g["xyz"].shape).astype(
         np.float32
