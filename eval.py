@@ -17,7 +17,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _maybe_force_cpu():
+    # the axon TPU plugin ignores JAX_PLATFORMS; honor our own env switch
+    if os.environ.get("GPT_FORCE_CPU", "0") == "1":
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def main():
+    _maybe_force_cpu()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-s", "--source_path", default=None)

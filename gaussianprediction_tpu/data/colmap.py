@@ -123,17 +123,23 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
+    # format: one image line, then one 2D-points line (possibly EMPTY —
+    # keep blank lines so the pairing stays intact)
     imgs = {}
     with open(path) as f:
-        lines = [l.strip() for l in f
-                 if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):  # every other line is 2D points
+        lines = [l.strip() for l in f if not l.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
         parts = lines[i].split()
         imgs[int(parts[0])] = ColmapImage(
             int(parts[0]), np.array([float(p) for p in parts[1:5]]),
             np.array([float(p) for p in parts[5:8]]), int(parts[8]),
             parts[9],
         )
+        i += 2  # skip the 2D-points line
     return imgs
 
 

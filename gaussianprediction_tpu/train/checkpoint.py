@@ -87,19 +87,24 @@ def load_checkpoint(path: str, state_template, opt_template) -> Tuple:
         flat = {k: f[k] for k in f.files}
     params_flat = {k[7:]: v for k, v in flat.items() if k.startswith("params/")}
     opt_flat = {k[4:]: v for k, v in flat.items() if k.startswith("opt/")}
+    import jax.numpy as jnp
+
     params = _unflatten(params_flat, state_template.params)
     opt_state = _unflatten(opt_flat, opt_template)
+    opt_state = jax.tree.map(jnp.asarray, opt_state)
     meta = {k[5:]: v for k, v in flat.items() if k.startswith("meta/")}
+    # device arrays, not numpy: loaded params are indexed by tracers inside
+    # jitted steps (np_array[tracer] raises TracerArrayConversionError)
     state = GaussianState(
-        params=jax.tree.map(lambda x: np.asarray(x), params),
-        alive=meta["alive"],
-        kpt_alive=meta["kpt_alive"],
-        xyz_gradient_accum=meta["xyz_gradient_accum"],
-        xyz_gradient_accum_max=meta["xyz_gradient_accum_max"],
-        denom=meta["denom"],
-        max_radii2D=meta["max_radii2D"],
-        xyz_motion_accum_max=meta["xyz_motion_accum_max"],
-        motion_denom=meta["motion_denom"],
+        params=jax.tree.map(jnp.asarray, params),
+        alive=jnp.asarray(meta["alive"]),
+        kpt_alive=jnp.asarray(meta["kpt_alive"]),
+        xyz_gradient_accum=jnp.asarray(meta["xyz_gradient_accum"]),
+        xyz_gradient_accum_max=jnp.asarray(meta["xyz_gradient_accum_max"]),
+        denom=jnp.asarray(meta["denom"]),
+        max_radii2D=jnp.asarray(meta["max_radii2D"]),
+        xyz_motion_accum_max=jnp.asarray(meta["xyz_motion_accum_max"]),
+        motion_denom=jnp.asarray(meta["motion_denom"]),
     )
     rng_key = jax.random.wrap_key_data(meta["rng_key"])
     return state, opt_state, int(meta["iteration"]), rng_key

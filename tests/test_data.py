@@ -1,0 +1,189 @@
+"""Dataset loaders against synthetic on-disk fixtures (SURVEY.md §2.1 L2)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gaussianprediction_tpu.config import Config, get_preset
+from gaussianprediction_tpu.data import blender, colmap, hypernerf
+from gaussianprediction_tpu.data.scene import Scene, load_scene_info
+from gaussianprediction_tpu.data.scene_types import nerfpp_norm
+from gaussianprediction_tpu.utils.camera import Camera
+
+
+def write_png(path, arr):
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+
+
+@pytest.fixture
+def blender_dir(tmp_path):
+    """Minimal D-NeRF-style dataset: 6 frames with times + RGBA images."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "dnerf"
+    (d / "train").mkdir(parents=True)
+    frames = []
+    for i in range(6):
+        ang = i * 0.5
+        c2w = np.eye(4)
+        c2w[:3, 3] = [3 * np.sin(ang), 0.5, 3 * np.cos(ang)]
+        # look-at-origin rotation (approx; orthonormalized)
+        z = -c2w[:3, 3] / np.linalg.norm(c2w[:3, 3])
+        x = np.cross([0, 1, 0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w[:3, :3] = np.stack([x, y, -z], axis=1)
+        img = rng.uniform(0, 1, (32, 40, 4)).astype(np.float32)
+        write_png(str(d / "train" / f"r_{i}.png"), img)
+        frames.append({
+            "file_path": f"train/r_{i}",
+            "time": i / 5.0,
+            "transform_matrix": c2w.tolist(),
+        })
+    with open(d / "transforms_train.json", "w") as f:
+        json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+    return str(d)
+
+
+class TestBlenderLoader:
+    def test_load_and_split(self, blender_dir):
+        info = blender.read_nerf_synthetic(
+            blender_dir, white_background=False, eval_split=True,
+            max_time=0.7,
+        )
+        # times 0,.2,.4,.6 train; .8,1.0 go to the late/test split
+        assert len(info.train_cameras) == 4
+        assert len(info.test_cameras) == 2
+        assert info.points.shape == (50_000, 3)  # random init written
+        assert os.path.exists(os.path.join(blender_dir, "points3d.ply"))
+        cam = info.train_cameras[1]
+        assert cam.time == pytest.approx(0.2)
+        assert cam.image.shape == (32, 40, 3)
+
+    def test_scene_detection_and_extent(self, blender_dir):
+        cfg = get_preset("test")
+        cfg.source_path = blender_dir
+        cfg.model.max_time = 1.0
+        info = load_scene_info(cfg)
+        scene = Scene(info)
+        assert scene.cameras_extent > 0
+        # epoch sampler covers every camera before repeating
+        seen = set()
+        for _ in range(len(scene.train_cameras)):
+            seen.add(scene.next_train_camera().uid)
+        assert len(seen) == len(scene.train_cameras)
+
+
+@pytest.fixture
+def colmap_dir(tmp_path):
+    d = tmp_path / "colmap"
+    (d / "sparse" / "0").mkdir(parents=True)
+    (d / "images").mkdir()
+    rng = np.random.default_rng(1)
+    with open(d / "sparse" / "0" / "cameras.txt", "w") as f:
+        f.write("# comment\n1 PINHOLE 64 48 60.0 60.0 32 24\n")
+    with open(d / "sparse" / "0" / "images.txt", "w") as f:
+        for i in range(4):
+            q = rng.normal(size=4); q /= np.linalg.norm(q)
+            t = rng.normal(size=3)
+            f.write(
+                f"{i+1} {q[0]} {q[1]} {q[2]} {q[3]} "
+                f"{t[0]} {t[1]} {t[2]} 1 img_{i}.png\n\n"
+            )
+            write_png(str(d / "images" / f"img_{i}.png"),
+                      rng.uniform(0, 1, (48, 64, 3)))
+    with open(d / "sparse" / "0" / "points3D.txt", "w") as f:
+        for i in range(20):
+            p = rng.normal(size=3)
+            f.write(f"{i} {p[0]} {p[1]} {p[2]} 100 120 140 0.5 1 0\n")
+    return str(d)
+
+
+class TestColmapLoader:
+    def test_text_model(self, colmap_dir):
+        info = colmap.read_colmap_scene(colmap_dir, eval_split=True,
+                                        llffhold=2)
+        assert len(info.train_cameras) + len(info.test_cameras) == 4
+        assert info.points.shape == (20, 3)
+        cam = info.train_cameras[0]
+        assert cam.width == 64 and cam.height == 48
+        assert 0 < cam.fovx < np.pi
+
+    def test_qvec_roundtrip(self):
+        q = np.array([0.9, 0.1, -0.3, 0.2])
+        q /= np.linalg.norm(q)
+        R = colmap.qvec2rotmat(q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(R) == pytest.approx(1.0)
+
+
+@pytest.fixture
+def hyper_dir(tmp_path):
+    d = tmp_path / "hyper"
+    (d / "camera").mkdir(parents=True)
+    (d / "rgb" / "2x").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    ids = [f"{i:06d}" for i in range(12)]
+    with open(d / "dataset.json", "w") as f:
+        json.dump({"ids": ids, "val_ids": []}, f)
+    with open(d / "metadata.json", "w") as f:
+        json.dump({i: {"warp_id": k, "camera_id": 0}
+                   for k, i in enumerate(ids)}, f)
+    with open(d / "scene.json", "w") as f:
+        json.dump({"near": 0.1, "far": 10.0, "scale": 1.0,
+                   "center": [0, 0, 0]}, f)
+    for i in ids:
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        from gaussianprediction_tpu.utils.camera import quat_to_rotmat_np
+
+        R = quat_to_rotmat_np(q)
+        with open(d / "camera" / f"{i}.json", "w") as f:
+            json.dump({
+                "orientation": R.tolist(),
+                "position": rng.normal(size=3).tolist(),
+                "focal_length": 80.0,
+                "image_size": [64, 48],
+            }, f)
+        write_png(str(d / "rgb" / "2x" / f"{i}.png"),
+                  rng.uniform(0, 1, (24, 32, 3)))
+    from gaussianprediction_tpu.utils.ply import store_point_cloud
+
+    store_point_cloud(
+        str(d / "points3D_downsample.ply"),
+        rng.normal(size=(30, 3)).astype(np.float32),
+        rng.uniform(0, 255, (30, 3)),
+    )
+    return str(d)
+
+
+class TestHyperLoader:
+    def test_every_fourth_split(self, hyper_dir):
+        info = hypernerf.read_hyper_scene(hyper_dir, max_time=1.0,
+                                          ratio=0.5)
+        # 12 imgs: train = idx%4==0 -> 3; test = train+2 (minus last) -> 2
+        assert len(info.train_cameras) == 3
+        assert len(info.test_cameras) == 2
+        assert info.total_frame == 12
+        t = [c.time for c in info.train_cameras]
+        assert max(t) <= 1.0 and min(t) >= 0.0
+
+    def test_prediction_split(self, hyper_dir):
+        info = hypernerf.read_hyper_scene(hyper_dir, max_time=0.6,
+                                          ratio=0.5)
+        assert all(c.time < 0.6 for c in info.train_cameras)
+        assert all(c.time >= 0.6 for c in info.test_cameras)
+
+
+class TestNerfppNorm:
+    def test_radius_positive(self):
+        import math
+
+        cams = [
+            Camera(uid=i, R=np.eye(3), T=np.array([0, 0, 2.0 + i]),
+                   fovx=1.0, fovy=1.0, image=None, image_name=str(i),
+                   width=8, height=8)
+            for i in range(3)
+        ]
+        norm = nerfpp_norm(cams)
+        assert norm["radius"] > 0

@@ -98,7 +98,16 @@ def resolve_config(args):
     return cfg
 
 
+def _maybe_force_cpu():
+    # the axon TPU plugin ignores JAX_PLATFORMS; honor our own env switch
+    if os.environ.get("GPT_FORCE_CPU", "0") == "1":
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def main():
+    _maybe_force_cpu()
     args = build_parser().parse_args()
     cfg = resolve_config(args)
 
