@@ -187,3 +187,57 @@ class TestNerfppNorm:
         ]
         norm = nerfpp_norm(cams)
         assert norm["radius"] > 0
+
+
+class TestPrepTools:
+    def test_voxel_downsample(self):
+        sys_path = __import__("sys").path
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "prep", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tools",
+                "prepare_hypernerf.py"),
+        )
+        prep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(prep)
+        rng = np.random.default_rng(7)
+        pts = rng.normal(size=(5000, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (5000, 3)).astype(np.float32)
+        p, c = prep.voxel_downsample(pts, cols, 0.5)
+        assert len(p) < 5000 and len(p) == len(c)
+        # rotmat2qvec roundtrip vs our camera utils
+        from gaussianprediction_tpu.utils.camera import quat_to_rotmat_np
+
+        q0 = rng.normal(size=4)
+        q0 /= np.linalg.norm(q0)
+        if q0[0] < 0:
+            q0 = -q0
+        R = quat_to_rotmat_np(q0)
+        np.testing.assert_allclose(prep.rotmat2qvec(R), q0, atol=1e-8)
+
+    def test_hyper_convert_roundtrip(self, hyper_dir, tmp_path):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "prep", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tools",
+                "prepare_hypernerf.py"),
+        )
+        prep = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(prep)
+        # fixture cameras lack principal_point; add it
+        for f in os.listdir(os.path.join(hyper_dir, "camera")):
+            p = os.path.join(hyper_dir, "camera", f)
+            with open(p) as fh:
+                cam = json.load(fh)
+            cam["principal_point"] = [32, 24]
+            with open(p, "w") as fh:
+                json.dump(cam, fh)
+        out = str(tmp_path / "sparse_")
+        prep.convert(hyper_dir, out_dir=out, image_scale=2)
+        from gaussianprediction_tpu.data import colmap as cm
+
+        cams = cm.read_cameras_text(os.path.join(out, "cameras.txt"))
+        imgs = cm.read_images_text(os.path.join(out, "images.txt"))
+        assert len(cams) == 12 and len(imgs) == 12
