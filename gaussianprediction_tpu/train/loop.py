@@ -68,12 +68,16 @@ class Trainer:
 
     def __init__(self, cfg: Config, scene: Scene, seed: Optional[int] = None,
                  interpret: Optional[bool] = None, log_every: int = 100,
-                 quiet: bool = False):
+                 quiet: bool = False, steps_per_call: int = 1):
         self.cfg = cfg
         self.scene = scene
         self.interpret = interpret
         self.log_every = log_every
         self.quiet = quiet
+        # steps_per_call > 1 scans K iterations per device invocation,
+        # amortizing the per-call host round-trip (train/step.py
+        # make_train_step_multi); chunks never cross host events.
+        self.steps_per_call = steps_per_call
         seed = cfg.train.seed if seed is None else seed
         self.key = jax.random.PRNGKey(2024 * seed)
         self.key, k_init = jax.random.split(self.key)
@@ -128,8 +132,52 @@ class Trainer:
                 self.cfg, stage, self.width, self.height,
                 float(self.scene.cameras_extent), self.active_sh_degree,
                 self.scene.total_frame, self.bg, interpret=self.interpret,
+            )[0]
+        return self._steps[key]
+
+    def _multi_step_fn(self, stage: int, k: int):
+        from gaussianprediction_tpu.train.step import make_train_step_multi
+
+        key = ("multi", stage, self.active_sh_degree, k)
+        if key not in self._steps:
+            self._steps[key] = make_train_step_multi(
+                self.cfg, stage, self.width, self.height,
+                float(self.scene.cameras_extent), self.active_sh_degree,
+                self.scene.total_frame, self.bg, k,
+                interpret=self.interpret,
             )
         return self._steps[key]
+
+    def _chunk_end(self, a: int, iterations: int) -> int:
+        """Largest b >= a such that iterations [a, b] contain no host event
+        (chunk runs steps a..b in one device call; events at b are handled
+        after the chunk, mirroring the reference's post-step ordering)."""
+        cfg = self.cfg
+        o, t = cfg.opt, cfg.train
+
+        def next_mult(x, m):
+            return ((x // m) + 1) * m
+
+        # pre-step events at iteration e forbid e inside (a, b]
+        pre = [next_mult(a, 1000)]  # SH bump happens before the step
+        for e in (t.jointly_iteration, t.second_stage_iteration + 1,
+                  t.third_stage_iteration + 1):
+            if e > a:
+                pre.append(e)
+        # post-step events at e forbid e inside [a, b)
+        post = [next_mult(a - 1, o.densification_interval)]
+        post.append(next_mult(a - 1, o.opacity_reset_interval))
+        post.append(next_mult(a - 1, t.adaptive_interval))
+        for e in list(t.save_iterations) + list(t.checkpoint_iterations):
+            if e >= a:
+                post.append(e)
+        b = min(
+            a + self.steps_per_call - 1,
+            iterations,
+            min(pre) - 1,
+            min(post),
+        )
+        return b
 
     # ---- host events ------------------------------------------------------
     def _maybe_stage_transition(self, iteration: int):
@@ -209,16 +257,57 @@ class Trainer:
         self._densification(iteration, stage)
         return metrics
 
+    def train_chunk(self, a: int, b: int) -> Dict:
+        """Run iterations [a, b] in one device call (no host events inside;
+        caller guarantees via _chunk_end). Applies iteration-b post events."""
+        cfg = self.cfg
+        if a % 1000 == 0 and self.active_sh_degree < cfg.model.sh_degree:
+            self.active_sh_degree += 1
+        self._maybe_stage_transition(a)
+        stage = stage_of(cfg, a)
+        k = b - a + 1
+        cams = [self.scene.next_train_camera() for _ in range(k)]
+        cam_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[c.to_device_dict() for c in cams],
+        )
+        gts = jnp.stack([jnp.asarray(c.load_image()) for c in cams])
+        times = jnp.asarray([c.time for c in cams], jnp.float32)
+        self.key, k_step = jax.random.split(self.key)
+        step = self._multi_step_fn(stage, k)
+        self.state, self.opt_state, metrics = step(
+            self.state, self.opt_state, cam_batch, gts, times,
+            jnp.int32(a), k_step,
+        )
+        self._densification(b, stage)
+        return metrics
+
     def run(self, iterations: Optional[int] = None,
             model_path: Optional[str] = None):
         cfg = self.cfg
         iterations = iterations or cfg.opt.iterations
         model_path = model_path or cfg.model_path
         t0 = time.time()
-        for iteration in range(self.iteration + 1, iterations + 1):
-            metrics = self.train_one(iteration)
+        iteration = self.iteration
+        while iteration < iterations:
+            a = iteration + 1
+            if self.steps_per_call > 1:
+                b = self._chunk_end(a, iterations)
+                if (
+                    b - a + 1 == self.steps_per_call
+                    and stage_of(cfg, a) == stage_of(cfg, b)
+                ):
+                    metrics = self.train_chunk(a, b)
+                    iteration = b
+                else:
+                    metrics = self.train_one(a)
+                    iteration = a
+            else:
+                metrics = self.train_one(a)
+                iteration = a
             self.iteration = iteration
-            if iteration % self.log_every == 0:
+            if iteration - getattr(self, "_last_log", 0) >= self.log_every:
+                self._last_log = iteration
                 loss = float(metrics["loss"])
                 p = float(metrics["psnr"])
                 entry = {

@@ -175,4 +175,42 @@ def make_train_step(cfg: Config, stage: int, width: int, height: int,
         }
         return state, opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1)), step
+
+
+def make_train_step_multi(cfg: Config, stage: int, width: int, height: int,
+                          spatial_scale: float, sh_degree: int,
+                          total_frame: int, bg, k_steps: int,
+                          interpret: Optional[bool] = None):
+    """K iterations per device invocation (lax.scan over the inner step).
+
+    Amortizes the per-call host round-trip (~35 ms through the tunneled TPU
+    plugin, comparable to a full 800x800 fwd+bwd) over k_steps iterations.
+    Cameras/gts/times come pre-stacked with a leading [K] axis; the host
+    aligns chunk boundaries with its events (densify cadence, stage
+    transitions, SH bumps) in train/loop.py.
+    """
+    _, inner = make_train_step(
+        cfg, stage, width, height, spatial_scale, sh_degree, total_frame,
+        bg, interpret=interpret,
+    )
+
+    def multi(state, opt_state, cams, gts, times, iteration0, key):
+        keys = jax.random.split(key, k_steps)
+
+        def body(carry, xs):
+            state, opt_state = carry
+            cam, gt, t, i, k = xs
+            state, opt_state, metrics = inner(
+                state, opt_state, cam, gt, t, iteration0 + i, k
+            )
+            return (state, opt_state), metrics
+
+        (state, opt_state), metrics = jax.lax.scan(
+            body, (state, opt_state),
+            (cams, gts, times, jnp.arange(k_steps, dtype=jnp.int32), keys),
+        )
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return state, opt_state, last
+
+    return jax.jit(multi, donate_argnums=(0, 1))

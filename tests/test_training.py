@@ -258,3 +258,39 @@ class TestStageSchedule:
         # loss finite throughout
         m = tr.train_one(141)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestMultiStepChunks:
+    def test_chunked_matches_semantics(self):
+        """steps_per_call>1 must produce a working run with host events
+        honored (densify/stage transitions land on chunk boundaries)."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        info = synthetic_scene_info(
+            n_points=80, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True,
+                     steps_per_call=10)
+        tr.run(iterations=140, model_path=None)
+        assert tr.iteration == 140
+        assert int(tr.state.n_kpts()) >= cfg.model.max_points
+        m = tr.train_one(141)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_chunk_end_respects_events(self):
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        info = synthetic_scene_info(
+            n_points=40, n_cams=3, n_test=1, width=32, height=32,
+            interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True,
+                     steps_per_call=64)
+        # adaptive_interval=30 in the test preset is the nearest post event
+        # for a chunk starting at 21
+        assert tr._chunk_end(21, 10_000) == 30
+        # stage transition at second_stage_iteration+1=61 is a pre event
+        assert tr._chunk_end(55, 10_000) == 60
