@@ -81,6 +81,9 @@ class ModelConfig:
     # static capacities (XLA); reference caps at 200k (train.py:169-170)
     max_gaussian_size: int = 200_000
     capacity: Optional[int] = None   # padded buffer; default from max size
+    # instance buffer = multiplier * capacity; every instance-stream cost
+    # (sorts/gathers) scales with it — size for n_dropped == 0, no more
+    capacity_multiplier: int = 12
 
     def padded_capacity(self) -> int:
         if self.capacity is not None:

@@ -159,11 +159,9 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         [
             rows[:, :10] * validf[:, None],
             jnp.where(valid, rows[:, 14], -1.0)[:, None],  # gid (f32)
-            validf[:, None],                               # valid channel
-            jnp.zeros((capacity, NCH - 12), jnp.float32),
         ],
         axis=1,
-    )
+    )  # [P, 11]: the valid channel is derived post-sort from gid >= 0
 
     # 4. per-tile counts via corner-difference histogram
     gx1, gy1 = grid_x + 1, grid_y + 1
@@ -192,19 +190,27 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     d_rank = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), num_tiles)
     d_active = d_rank < (padded_t - counts_t)[d_tile]
     d_key = jnp.where(d_active, d_tile, sentinel)
-    d_inst = jnp.zeros((TC, NCH), jnp.float32).at[:, 10].set(-1.0)
+    d_inst = jnp.zeros((TC, 11), jnp.float32).at[:, 10].set(-1.0)
 
-    # 6. one stable 2-operand sort by tile id (sorting the row index, then
-    # one row gather: variadic-operand sorts compile pathologically slowly
-    # on TPU — minutes for 17 operands — while (key, idx) sorts are fast)
+    # 6. stable sort by tile id CARRYING the channels as sort values, split
+    # into two <=8-value sorts: random row gathers of [2.3M, 16] cost ~74 ms
+    # on this TPU while an 8-value sort runs ~8 ms — but sorts with >~10
+    # operands compile for minutes, hence the pairing. Both sorts are stable
+    # on identical keys, so their permutations are identical.
     all_key = jnp.concatenate([key, d_key])
     all_inst = jnp.concatenate([inst_real, d_inst], axis=0)
     Pp = capacity + TC
-    _, perm = jax.lax.sort(
-        (all_key, jnp.arange(Pp, dtype=jnp.int32)), num_keys=1,
-        is_stable=True,
-    )
-    inst = all_inst[perm]                          # [P+TC, 16] row gather
+    chans = tuple(all_inst[:, c] for c in range(11))
+    s1 = jax.lax.sort((all_key,) + chans[:8], num_keys=1, is_stable=True)
+    s2 = jax.lax.sort((all_key,) + chans[8:], num_keys=1, is_stable=True)
+    gid_sorted = s2[-1]
+    validch = (gid_sorted >= 0.0).astype(jnp.float32)
+    inst = jnp.stack(
+        s1[1:] + s2[1:] + (validch, jnp.zeros_like(validch),
+                           jnp.zeros_like(validch), jnp.zeros_like(validch),
+                           jnp.zeros_like(validch)),
+        axis=1,
+    )  # [P+TC, 16]
 
     tile_start = jnp.minimum(pstart, Pp)
     tile_end = jnp.minimum(pstart + counts_t, Pp)
@@ -231,11 +237,12 @@ def build_instances_bwd(residuals, d_inst):
     Pp = gid_f.shape[0]
     gid = gid_f.astype(jnp.int32)                 # -1 for dummies/invalid
 
-    d10 = d_inst[:, :10]
-    _, perm = jax.lax.sort(
-        (gid, jnp.arange(Pp, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
-    dsort = d10[perm]                             # [Pp, 10] sorted by gid
+    # sort cotangents by gaussian id, carried as sort values (see the fwd
+    # note: value-carrying <=8-operand sorts beat random row gathers ~9x)
+    dch = tuple(d_inst[:, c] for c in range(10))
+    b1 = jax.lax.sort((gid,) + dch[:8], num_keys=1, is_stable=True)
+    b2 = jax.lax.sort((gid,) + dch[8:], num_keys=1, is_stable=True)
+    dsort = jnp.stack(b1[1:] + b2[1:], axis=1)    # [Pp, 10] sorted by gid
 
     # per-ID instance counts: inverse-permute depth-order counts
     counts_id = jnp.zeros((N,), jnp.int32).at[gid_s].set(count_depth)

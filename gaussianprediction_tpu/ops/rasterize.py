@@ -54,6 +54,7 @@ def render(
     tile_band=None,
     fast_binning: bool = True,
     max_tiles: int = 64,
+    cov3d_precomp=None,    # [N, 6] packed covariance, bypasses scale/rot
 ):
     """Differentiable render of one view. Static: width/height/sh_degree.
 
@@ -88,10 +89,17 @@ def render(
         }
 
     rotation = rotation / jnp.linalg.norm(rotation, axis=-1, keepdims=True)
-    proj = projection.project_from_params(
-        xyz, scaling, rotation, cam, width, height,
-        scaling_modifier=scaling_modifier, alive=alive,
-    )
+    if cov3d_precomp is not None:
+        # pipe.compute_cov3D_python path (gaussian_renderer/__init__.py:67-68)
+        proj = projection.project_gaussians(
+            xyz, cov3d_precomp, cam["world_view"], cam["full_proj"],
+            cam["tanfovx"], cam["tanfovy"], width, height, alive=alive,
+        )
+    else:
+        proj = projection.project_from_params(
+            xyz, scaling, rotation, cam, width, height,
+            scaling_modifier=scaling_modifier, alive=alive,
+        )
     mean2d = proj.mean2d
     if means2d_dummy is not None:
         # NDC-scale gradient carrier: the CUDA backward reports mean2D grads

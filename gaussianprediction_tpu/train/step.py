@@ -73,6 +73,7 @@ def render_at_time(params, cfg: Config, state: GaussianState, cam, t,
         out.xyz, out.scaling, out.rotation, out.opacity, get_shs(params),
         cam, width, height, bg, sh_degree=sh_degree, alive=state.alive,
         means2d_dummy=means2d_dummy, interpret=interpret,
+        capacity_multiplier=cfg.model.capacity_multiplier,
     )
     return pkg, out
 

@@ -241,3 +241,55 @@ class TestPrepTools:
         cams = cm.read_cameras_text(os.path.join(out, "cameras.txt"))
         imgs = cm.read_images_text(os.path.join(out, "images.txt"))
         assert len(cams) == 12 and len(imgs) == 12
+
+
+class TestColmapBinary:
+    def test_binary_roundtrip(self, tmp_path):
+        """Write COLMAP .bin fixtures with struct and parse them."""
+        import struct
+
+        d = tmp_path / "sparse0"
+        d.mkdir()
+        rng = np.random.default_rng(3)
+        # cameras.bin: one PINHOLE camera
+        with open(d / "cameras.bin", "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<iiQQ", 1, 1, 64, 48))  # id, PINHOLE, w, h
+            f.write(struct.pack("<dddd", 60.0, 61.0, 32.0, 24.0))
+        cams = colmap.read_cameras_binary(str(d / "cameras.bin"))
+        assert cams[1].model == "PINHOLE"
+        assert cams[1].width == 64
+        np.testing.assert_allclose(cams[1].params, [60, 61, 32, 24])
+
+        # images.bin: two images, one with 2 2D-points
+        with open(d / "images.bin", "wb") as f:
+            f.write(struct.pack("<Q", 2))
+            for i, npts in ((1, 0), (2, 2)):
+                q = rng.normal(size=4); q /= np.linalg.norm(q)
+                f.write(struct.pack("<i", i))
+                f.write(struct.pack("<dddd", *q))
+                f.write(struct.pack("<ddd", 0.1 * i, 0.2, 0.3))
+                f.write(struct.pack("<i", 1))
+                f.write(f"img_{i}.png".encode() + b"\x00")
+                f.write(struct.pack("<Q", npts))
+                for _ in range(npts):
+                    f.write(struct.pack("<ddq", 1.0, 2.0, -1))
+        imgs = colmap.read_images_binary(str(d / "images.bin"))
+        assert len(imgs) == 2
+        assert imgs[2].name == "img_2.png"
+        assert imgs[1].tvec[0] == pytest.approx(0.1)
+
+        # points3D.bin: 3 points with track length 1
+        with open(d / "points3D.bin", "wb") as f:
+            f.write(struct.pack("<Q", 3))
+            for i in range(3):
+                f.write(struct.pack("<Q", i))
+                f.write(struct.pack("<ddd", i * 1.0, 2.0, 3.0))
+                f.write(struct.pack("<BBB", 10, 20, 30))
+                f.write(struct.pack("<d", 0.5))
+                f.write(struct.pack("<Q", 1))
+                f.write(struct.pack("<ii", 1, 0))
+        xyz, rgb, err = colmap.read_points3d_binary(str(d / "points3D.bin"))
+        assert xyz.shape == (3, 3)
+        np.testing.assert_allclose(xyz[:, 0], [0, 1, 2])
+        np.testing.assert_allclose(rgb[0], [10, 20, 30])

@@ -244,3 +244,24 @@ class TestPallasVsOracle:
         norms = np.linalg.norm(np.asarray(grad), axis=-1)
         assert norms[vis].max() > 0
         assert np.allclose(norms[~vis], 0.0)
+
+
+class TestCov3DPrecomp:
+    def test_matches_scale_rot_path(self):
+        from gaussianprediction_tpu.utils.math import (
+            covariance_from_scaling_rotation,
+        )
+
+        g, cam = scene(80, seed=21)
+        opac = _sigmoid(g["opacity_logit"]).astype(np.float32)
+        scaling = jnp.exp(jnp.asarray(g["log_scales"]))
+        rot = jnp.asarray(g["rotation"])
+        rot_n = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+        cov6 = covariance_from_scaling_rotation(scaling, rot_n)
+        kw = dict(colors_precomp=jnp.asarray(g["colors"]), interpret=True)
+        a = R.render(jnp.asarray(g["xyz"]), scaling, rot,
+                     jnp.asarray(opac), None, cam, W, H, jnp.zeros(3), **kw)
+        b = R.render(jnp.asarray(g["xyz"]), scaling, rot,
+                     jnp.asarray(opac), None, cam, W, H, jnp.zeros(3),
+                     cov3d_precomp=cov6, **kw)
+        np.testing.assert_allclose(a["render"], b["render"], atol=1e-5)

@@ -294,3 +294,32 @@ class TestMultiStepChunks:
         assert tr._chunk_end(21, 10_000) == 30
         # stage transition at second_stage_iteration+1=61 is a pre event
         assert tr._chunk_end(55, 10_000) == 60
+
+
+class TestStageAwareResume:
+    def test_resume_mid_stage2(self, tmp_path):
+        """Checkpoint in stage 2 and resume: keypoints, stage, and training
+        must continue seamlessly (reference restore semantics,
+        gaussian_model.py:96-104)."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        info = synthetic_scene_info(
+            n_points=60, n_cams=5, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr.run(iterations=90, model_path=None)  # inside stage 2 (61..120)
+        assert stage_of(cfg, tr.iteration) == 2
+        k90 = int(tr.state.n_kpts())
+        path = str(tmp_path / "s2.npz")
+        tr.save_checkpoint(path)
+
+        tr2 = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr2.load_checkpoint(path)
+        assert tr2.iteration == 90
+        assert int(tr2.state.n_kpts()) == k90
+        tr2.run(iterations=130, model_path=None)  # crosses into stage 3
+        assert tr2.iteration == 130
+        m = tr2.train_one(131)
+        assert np.isfinite(float(m["loss"]))
