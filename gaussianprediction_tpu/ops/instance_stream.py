@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from gaussianprediction_tpu.ops.projection import TILE, Projected
 from gaussianprediction_tpu.ops.rasterize_pallas import CHUNK, NCH
 
+C_GID_ROW = 10  # row index of the gid channel in the [16, P] SoA
+
 
 def _cummax(x):
     """Log-step running max (lax.cummax lowers ~1000x slower on TPU)."""
@@ -62,7 +64,7 @@ def _cummax(x):
 
 
 class InstanceStream(NamedTuple):
-    inst: jnp.ndarray        # [P', 16] packed sorted instances
+    inst: jnp.ndarray        # [16, P'] packed sorted instance SoA
     tile_start: jnp.ndarray  # [T]
     tile_end: jnp.ndarray    # [T]
     n_dropped: jnp.ndarray   # [] int32
@@ -209,8 +211,8 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         s1[1:] + s2[1:] + (validch, jnp.zeros_like(validch),
                            jnp.zeros_like(validch), jnp.zeros_like(validch),
                            jnp.zeros_like(validch)),
-        axis=1,
-    )  # [P+TC, 16]
+        axis=0,
+    )  # [16, P+TC] SoA — the orientation the Pallas kernels DMA directly
 
     tile_start = jnp.minimum(pstart, Pp)
     tile_end = jnp.minimum(pstart + counts_t, Pp)
@@ -226,12 +228,14 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     )
 
     stream = InstanceStream(inst, tile_start, tile_end, n_dropped)
-    residuals = (inst[:, 10], count, gid_s, feat.shape)
+    residuals = (inst[C_GID_ROW], count, gid_s, feat.shape)
     return stream, residuals
 
 
 def build_instances_bwd(residuals, d_inst):
-    """Per-Gaussian gradient reduction: sorted-run cumsum differences."""
+    """Per-Gaussian gradient reduction: sorted-run cumsum differences.
+
+    d_inst: [16, Pp] SoA cotangent (rows slice contiguously)."""
     gid_f, count_depth, gid_s, feat_shape = residuals
     N, F = feat_shape
     Pp = gid_f.shape[0]
@@ -239,7 +243,7 @@ def build_instances_bwd(residuals, d_inst):
 
     # sort cotangents by gaussian id, carried as sort values (see the fwd
     # note: value-carrying <=8-operand sorts beat random row gathers ~9x)
-    dch = tuple(d_inst[:, c] for c in range(10))
+    dch = tuple(d_inst[c] for c in range(10))
     b1 = jax.lax.sort((gid,) + dch[:8], num_keys=1, is_stable=True)
     b2 = jax.lax.sort((gid,) + dch[8:], num_keys=1, is_stable=True)
     dsort = jnp.stack(b1[1:] + b2[1:], axis=1)    # [Pp, 10] sorted by gid

@@ -181,7 +181,7 @@ def render(
                 jnp.zeros((capacity, rp.NCH - 12), jnp.float32),
             ],
             axis=-1,
-        )
+        ).T  # -> [16, P] SoA
         tile_start = jax.lax.stop_gradient(bins.tile_start)
         tile_end = jax.lax.stop_gradient(bins.tile_end)
         n_dropped = bins.n_dropped

@@ -354,24 +354,26 @@ def _pad_inst_T(instT):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y,
+def rasterize_binned(instT, tile_start, tile_end, grid_x, grid_y,
                      interpret=None):
     """Blend packed instances into per-tile buffers.
 
-    inst: [P, 16] float32 packed instances (see channel constants);
+    instT: [16, P] float32 packed instance SoA (rows = channel constants;
+    the layout the kernels DMA directly — keep data in this orientation
+    end-to-end, transposes of [P,16] cost real HBM bandwidth);
     tile_start/tile_end: [T] int32 CHUNK-aligned segment ranges;
     returns out_f [T, 256, 8] float32 (channels: r,g,b,depth,T_final,
     w_max, best_gid, pad).
     """
-    return _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y,
+    return _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
                                interpret)
 
 
-def _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y, interpret):
+def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y, interpret):
     if interpret is None:
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
-    instT = _pad_inst_T(inst.T)
+    instT = _pad_inst_T(instT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -392,14 +394,15 @@ def _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y, interpret):
     )(tile_start, tile_end, instT)
 
 
-def _rasterize_fwd_rule(inst, tile_start, tile_end, grid_x, grid_y, interpret):
-    out = _rasterize_fwd_impl(inst, tile_start, tile_end, grid_x, grid_y,
+def _rasterize_fwd_rule(instT, tile_start, tile_end, grid_x, grid_y,
+                        interpret):
+    out = _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
                               interpret)
-    return out, (inst, tile_start, tile_end, out)
+    return out, (instT, tile_start, tile_end, out)
 
 
 def _rasterize_bwd_rule(grid_x, grid_y, interpret, res, g):
-    inst, tile_start, tile_end, out = res
+    instT0, tile_start, tile_end, out = res
     if interpret is None:
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
@@ -415,7 +418,7 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, res, g):
         [d_rgbz, Q, jnp.zeros((num_tiles, PIX, 3), jnp.float32)], axis=2
     )
 
-    instT = _pad_inst_T(inst.T)
+    instT = _pad_inst_T(instT0)
     dinst_init = jnp.zeros_like(instT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -442,7 +445,7 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, res, g):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_end, instT, dpix, dinst_init)
-    return (dinstT[:, :-CHUNK].T, None, None)
+    return (dinstT[:, :-CHUNK], None, None)
 
 
 rasterize_binned.defvjp(_rasterize_fwd_rule, _rasterize_bwd_rule)

@@ -98,7 +98,7 @@ class TestFastVsSlowBinning:
         )
         starts = np.asarray(stream.tile_start)
         ends = np.asarray(stream.tile_end)
-        inst = np.asarray(stream.inst)
+        inst = np.asarray(stream.inst).T  # SoA [16, P'] -> rows
         assert (starts % rp.CHUNK == 0).all()
         assert (ends >= starts).all()
         gid = inst[:, rp.C_GID]
@@ -129,7 +129,7 @@ class TestFastVsSlowBinning:
                 feat, proj.depth, proj.tiles_min, proj.tiles_max,
                 proj.visible, 4, 3, 2048, 64,
             )
-            return jnp.sum(s.inst[:, :10] * weights)
+            return jnp.sum(s.inst[:10] * weights.T)
 
         # random cotangent field over instances
         s0 = instance_stream.build_instances(
@@ -137,12 +137,12 @@ class TestFastVsSlowBinning:
             4, 3, 2048, 64,
         )
         weights = jnp.asarray(
-            rng.normal(size=(s0.inst.shape[0], 10)), jnp.float32
+            rng.normal(size=(s0.inst.shape[1], 10)), jnp.float32
         )
         grad_fast = jax.grad(f_fast)(feat0)
 
         # reference gradient: per-gaussian sum of weights over its instances
-        gid = np.asarray(s0.inst[:, rp.C_GID]).astype(int)
+        gid = np.asarray(s0.inst[rp.C_GID]).astype(int)
         ref = np.zeros((50, 10), np.float32)
         wnp = np.asarray(weights)
         for j, gg in enumerate(gid):
