@@ -168,6 +168,12 @@ bool decode_impl(const char* path, float* out, uint32_t exp_w,
           dst[x * exp_c + ch] = palette[idx + ch] * inv;
         if (exp_c == 4) dst[x * exp_c + 3] = 1.0f;
       }
+    } else if (raw_c == 2) {  // gray+alpha -> (g,g,g[,a])
+      for (uint32_t x = 0; x < info.width; ++x) {
+        float g = cur[x * 2] * inv;
+        for (int ch = 0; ch < exp_c && ch < 3; ++ch) dst[x * exp_c + ch] = g;
+        if (exp_c == 4) dst[x * exp_c + 3] = cur[x * 2 + 1] * inv;
+      }
     } else {
       for (uint32_t x = 0; x < info.width; ++x) {
         for (int ch = 0; ch < exp_c; ++ch) {

@@ -228,7 +228,13 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     )
 
     stream = InstanceStream(inst, tile_start, tile_end, n_dropped)
-    residuals = (inst[C_GID_ROW], count, gid_s, feat.shape)
+    # KEPT (post-capacity-drop) per-Gaussian counts, depth order: slots
+    # [offsets, offsets+count) clipped to [0, capacity). Using raw `count`
+    # here misaligns every run boundary in the backward once instances are
+    # dropped, corrupting ALL gradients (ADVICE.md r1 #1).
+    kept = (jnp.minimum(offsets + count, capacity)
+            - jnp.minimum(offsets, capacity)).astype(jnp.int32)
+    residuals = (inst[C_GID_ROW], kept, gid_s, feat.shape)
     return stream, residuals
 
 
@@ -236,7 +242,7 @@ def build_instances_bwd(residuals, d_inst):
     """Per-Gaussian gradient reduction: sorted-run cumsum differences.
 
     d_inst: [16, Pp] SoA cotangent (rows slice contiguously)."""
-    gid_f, count_depth, gid_s, feat_shape = residuals
+    gid_f, kept_depth, gid_s, feat_shape = residuals
     N, F = feat_shape
     Pp = gid_f.shape[0]
     gid = gid_f.astype(jnp.int32)                 # -1 for dummies/invalid
@@ -248,8 +254,9 @@ def build_instances_bwd(residuals, d_inst):
     b2 = jax.lax.sort((gid,) + dch[8:], num_keys=1, is_stable=True)
     dsort = jnp.stack(b1[1:] + b2[1:], axis=1)    # [Pp, 10] sorted by gid
 
-    # per-ID instance counts: inverse-permute depth-order counts
-    counts_id = jnp.zeros((N,), jnp.int32).at[gid_s].set(count_depth)
+    # per-ID KEPT instance counts: inverse-permute depth-order counts
+    # (kept = post-drop; matches the gid>=0 population of the sorted array)
+    counts_id = jnp.zeros((N,), jnp.int32).at[gid_s].set(kept_depth)
     n_neg = Pp - jnp.sum(counts_id)               # dummies + invalid slots
     ends = n_neg + jnp.cumsum(counts_id)
     starts = ends - counts_id

@@ -97,10 +97,14 @@ def make_sharded_train_step(
     def step(state: GaussianState, opt_state, cams, gts, times, iteration,
              key):
         k_noise, k_time = jax.random.split(key)
+        # independent time-noise draw per data-parallel camera (the
+        # reference draws fresh noise per accumulated batch member,
+        # /root/reference/train.py:92-99)
+        time_keys = jax.random.split(k_time, times.shape[0])
         times = jax.vmap(
-            lambda t: time_with_noise(cfg, t, iteration, k_time, stage,
-                                      total_frame)
-        )(times)
+            lambda t, k: time_with_noise(cfg, t, iteration, k, stage,
+                                         total_frame)
+        )(times, time_keys)
         dummy = jnp.zeros((state.capacity, 2), jnp.float32)
 
         def inner(params, dummy):

@@ -310,6 +310,15 @@ class Trainer:
                 self._last_log = iteration
                 loss = float(metrics["loss"])
                 p = float(metrics["psnr"])
+                nd = int(metrics.get("n_dropped", 0))
+                if nd > 0 and not getattr(self, "_warned_dropped", False):
+                    self._warned_dropped = True
+                    print(
+                        f"WARNING [iter {iteration}]: instance buffer "
+                        f"overflow — {nd} tile instances dropped; rendered "
+                        f"images and gradients are biased. Raise "
+                        f"cfg.model.capacity_multiplier."
+                    )
                 entry = {
                     "iter": iteration, "loss": loss, "psnr": p,
                     "n_gaussians": int(self.state.n_alive()),
@@ -351,4 +360,9 @@ class Trainer:
         self.state, self.opt_state, self.iteration, self.key = (
             ckpt.load_checkpoint(path, self.state, self.opt_state)
         )
-        self.active_sh_degree = self.cfg.model.sh_degree
+        # Resume the SH warm-up ramp where the run left off (the reference
+        # restores active_sh_degree with the model state and one-ups every
+        # 1k iterations, /root/reference/train.py:82-83).
+        self.active_sh_degree = min(
+            self.cfg.model.sh_degree, self.iteration // 1000
+        )

@@ -149,3 +149,42 @@ class TestFastVsSlowBinning:
             if gg >= 0:
                 ref[gg] += wnp[j]
         np.testing.assert_allclose(np.asarray(grad_fast), ref, atol=1e-4)
+
+    def test_backward_correct_under_capacity_overflow(self):
+        """Regression (ADVICE r1 #1): when instances are dropped at the
+        capacity limit, run boundaries in the backward must be derived from
+        KEPT counts — raw counts shift every gradient, corrupting even
+        never-dropped Gaussians."""
+        g, cam, opac = scene(80, seed=11)
+        proj = projection.project_from_params(
+            jnp.asarray(g["xyz"]), jnp.exp(jnp.asarray(g["log_scales"])),
+            jnp.asarray(g["rotation"]), cam, W, H,
+        )
+        rng = np.random.default_rng(2)
+        feat0 = jnp.asarray(rng.normal(size=(80, 10)), jnp.float32)
+        capacity = 64  # force drops
+
+        s0 = instance_stream.build_instances(
+            feat0, proj.depth, proj.tiles_min, proj.tiles_max, proj.visible,
+            4, 3, capacity, 64,
+        )
+        assert int(s0.n_dropped) > 0, "fixture must overflow"
+        weights = jnp.asarray(
+            rng.normal(size=(s0.inst.shape[1], 10)), jnp.float32
+        )
+
+        def f(feat):
+            s = instance_stream.build_instances(
+                feat, proj.depth, proj.tiles_min, proj.tiles_max,
+                proj.visible, 4, 3, capacity, 64,
+            )
+            return jnp.sum(s.inst[:10] * weights.T)
+
+        grad_fast = jax.grad(f)(feat0)
+        gid = np.asarray(s0.inst[rp.C_GID]).astype(int)
+        ref = np.zeros((80, 10), np.float32)
+        wnp = np.asarray(weights)
+        for j, gg in enumerate(gid):
+            if gg >= 0:
+                ref[gg] += wnp[j]
+        np.testing.assert_allclose(np.asarray(grad_fast), ref, atol=1e-4)

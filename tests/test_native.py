@@ -47,6 +47,28 @@ class TestFastPNG:
         np.testing.assert_allclose(out[..., 0] * 255, img, atol=1e-3)
         np.testing.assert_allclose(out[..., 1], out[..., 0])
 
+    def test_gray_alpha(self, built, tmp_path):
+        """Regression (ADVICE r1 #2): color_type 4 must expand to
+        (g,g,g[,a]) — channel 1 was previously filled with the alpha byte
+        and real alpha was dropped."""
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (18, 26, 2), dtype=np.uint8)
+        from PIL import Image
+
+        p = str(tmp_path / "ga.png")
+        Image.fromarray(img, mode="LA").save(p)
+        out3 = native.decode_png(p, channels=3)
+        assert out3 is not None
+        for ch in range(3):
+            np.testing.assert_allclose(out3[..., ch] * 255, img[..., 0],
+                                       atol=1e-3)
+        out4 = native.decode_png(p, channels=4)
+        assert out4 is not None
+        np.testing.assert_allclose(out4[..., 3] * 255, img[..., 1],
+                                   atol=1e-3)
+        np.testing.assert_allclose(out4[..., 1] * 255, img[..., 0],
+                                   atol=1e-3)
+
     def test_batch_threads(self, built, tmp_path):
         rng = np.random.default_rng(3)
         paths = []
