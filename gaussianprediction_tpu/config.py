@@ -71,6 +71,15 @@ class ModelConfig:
     step_opacity_iteration: int = 5000
     opacity_type: str = "implicit"
     beta: float = 0.1
+    # blend-weight model encoder:
+    #   "hashgrid" — exact tcnn twin (gaussian_model.py:370-392) with a
+    #                sort-based VJP (ops/hashgrid.py:hashgrid_encode_fast);
+    #   "fourier"  — MXU-pure multi-scale Fourier encoder
+    #                (ops/fourier_enc.py), the TPU-first fast path.
+    weight_encoder: str = "hashgrid"
+    fourier_per_level: int = 4
+    weight_mlp_width: int = 64   # tcnn FullyFusedMLP: 2x64
+    weight_mlp_depth: int = 2
     # hash-grid weight model (tcnn config, gaussian_model.py:370-392)
     hash_levels: int = 16
     hash_features: int = 4

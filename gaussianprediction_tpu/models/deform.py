@@ -84,18 +84,28 @@ def xyz_encode(cfg: Config, xyz):
 
 
 def blend_weights(params, cfg: Config, state: GaussianState):
-    """Hash-grid weight model + hybrid KNN + per-neighbor softmax.
+    """Weight-encoder model + hybrid KNN + per-neighbor softmax.
 
     Twin of weights_model + get_nearest_mask + fill_nearest
     (gaussian_model.py:257-261,111-125,214-229) in KNN-sparse form.
     Returns (nn_idx [C,K], weights_xyz [C,K], weights_r [C,K]).
     """
     K = cfg.model.nearest_num
+    m = cfg.model
     xyz = jax.lax.stop_gradient(params["xyz"])
-    enc = hashgrid.hashgrid_encode(
-        params["hash_tables"], xyz, bound=cfg.model.hash_bound,
-        n_min=cfg.model.hash_min_res, max_res=cfg.model.hash_max_res,
-    )
+    if m.weight_encoder == "fourier":
+        from gaussianprediction_tpu.ops import fourier_enc
+
+        B = fourier_enc.fourier_dirs(
+            m.hash_levels, m.fourier_per_level, m.hash_min_res,
+            m.hash_max_res, m.hash_bound,
+        )
+        enc = fourier_enc.fourier_encode(B, xyz, bound=m.hash_bound)
+    else:
+        enc = hashgrid.hashgrid_encode_fast(
+            params["hash_tables"], xyz, m.hash_bound,
+            m.hash_min_res, m.hash_max_res,
+        )
     logits = hashgrid.mlp_apply(params["weight_mlp"], enc)  # [C, 2K]
 
     if cfg.model.knn_type == "3D":

@@ -135,13 +135,25 @@ def create_from_pcd(
     df_mlp = hashgrid.init_mlp(k_df, mlp_sizes)
 
     m = cfg.model
-    tables = hashgrid.init_hashgrid(
-        k_hash, n_levels=m.hash_levels, n_features=m.hash_features,
-        log2_T=m.hash_log2_T, n_min=m.hash_min_res, max_res=m.hash_max_res,
-    )
-    n_feat = sum(t.shape[1] for t in tables.values())
+    if m.weight_encoder == "fourier":
+        from gaussianprediction_tpu.ops import fourier_enc
+
+        tables = None
+        n_feat = fourier_enc.fourier_feature_dim(
+            m.hash_levels, m.fourier_per_level
+        )
+    else:
+        tables = hashgrid.init_hashgrid(
+            k_hash, n_levels=m.hash_levels, n_features=m.hash_features,
+            log2_T=m.hash_log2_T, n_min=m.hash_min_res,
+            max_res=m.hash_max_res,
+        )
+        n_feat = sum(t.shape[1] for t in tables.values())
     weight_mlp = hashgrid.init_mlp(
-        k_wmlp, [n_feat, 64, 64, 2 * cfg.model.nearest_num]
+        k_wmlp,
+        [n_feat]
+        + [m.weight_mlp_width] * m.weight_mlp_depth
+        + [2 * cfg.model.nearest_num],
     )
 
     params = {
@@ -156,9 +168,10 @@ def create_from_pcd(
         "super_xyz": jnp.ones((Ck, 3), jnp.float32),
         "super_feature": jnp.ones((Ck, F), jnp.float32),
         "df_mlp": df_mlp,
-        "hash_tables": tables,
         "weight_mlp": weight_mlp,
     }
+    if tables is not None:
+        params["hash_tables"] = tables
     kpt_alive = jnp.zeros((Ck,), bool)
     # NOTE: each stat gets its own zeros array — sharing one buffer breaks
     # buffer donation in the jitted train step (same buffer donated twice).

@@ -90,6 +90,139 @@ def hashgrid_encode(tables: dict, xyz, bound: float = 1.6,
     return jnp.concatenate(outs, axis=-1)
 
 
+def hashgrid_specs(tables: dict, n_min: int, max_res: int):
+    """(res, size, offset) per level + total slot count, from table shapes."""
+    n_levels = len(tables)
+    resolutions = level_resolutions(n_levels, n_min, max_res)
+    specs = []
+    off = 0
+    for l, res in enumerate(resolutions):
+        size = tables[f"level_{l}"].shape[0]
+        specs.append((res, size, off))
+        off += size
+    return specs, off
+
+
+def hashgrid_keys_weights(xyz, specs, bound: float):
+    """Global corner slot ids + trilinear weights for every (level, corner).
+
+    Returns keys [N, L, 8] int32 (offset into the concatenated tables) and
+    w [N, L, 8] float32. Pure elementwise/VPU work — recomputed in the
+    backward instead of being saved (25.6M ints+floats ≈ 200 MB HBM).
+    """
+    x = jnp.clip((xyz + bound) / (2.0 * bound), 0.0, 1.0)
+    corners = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.int32,
+    )  # [8, 3]
+    keys, ws = [], []
+    for res, size, off in specs:
+        pos = x * res
+        p0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - p0
+        p = p0[:, None, :] + corners[None, :, :]          # [N, 8, 3]
+        idx = _corner_index(p, res, size)                 # [N, 8]
+        w = jnp.prod(
+            jnp.where(corners[None, :, :] == 1, frac[:, None, :],
+                      1.0 - frac[:, None, :]),
+            axis=-1,
+        )                                                 # [N, 8]
+        keys.append(idx + off)
+        ws.append(w)
+    return jnp.stack(keys, axis=1), jnp.stack(ws, axis=1)
+
+
+def _flat_tables(tables: dict):
+    return jnp.concatenate(
+        [tables[f"level_{l}"] for l in range(len(tables))], axis=0
+    )
+
+
+def _encode_from_flat(flat, keys, w):
+    """[S, F] flat tables, [N, L, 8] keys/weights -> [N, L*F] features."""
+    n, L, _ = keys.shape
+    g = flat[keys.reshape(-1)].reshape(n, L, 8, -1)       # one big gather
+    feat = jnp.sum(w[..., None] * g, axis=2)              # [N, L, F]
+    return feat.reshape(n, -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def hashgrid_encode_fast(tables: dict, xyz, bound: float = 1.6,
+                         n_min: int = 16, max_res: int = 2048,
+                         backend: str = "auto"):
+    """hashgrid_encode with a sort-based table-gradient VJP.
+
+    Plain AD of the encode emits one XLA scatter-add per (level, corner)
+    gather — ~800 ms/step at production shapes (NOTES.md r1 root cause).
+    This VJP reduces all N·L·8 contributions at once: sort by global slot
+    id carrying the F gradient channels, then a Pallas block-accumulate
+    matmul kernel (ops/hashgrid_pallas.py) on TPU or a single scatter-add
+    on other backends. Matches tcnn's training semantics
+    (/root/reference/scene/gaussian_model.py:370-392).
+
+    NOTE: gradients do NOT flow to xyz (returns zeros) — the reference
+    always encodes detached positions (weights_model(xyz.detach()),
+    gaussian_model.py:257) and so does models/deform.py:blend_weights.
+    """
+    return _hef_impl(tables, xyz, bound, n_min, max_res)
+
+
+def _hef_impl(tables, xyz, bound, n_min, max_res):
+    specs, _ = hashgrid_specs(tables, n_min, max_res)
+    keys, w = hashgrid_keys_weights(xyz, specs, bound)
+    return _encode_from_flat(_flat_tables(tables), keys, w)
+
+
+def _hef_fwd(tables, xyz, bound, n_min, max_res, backend):
+    out = _hef_impl(tables, xyz, bound, n_min, max_res)
+    sizes = tuple(tables[f"level_{l}"].shape for l in range(len(tables)))
+    return out, (xyz, sizes)
+
+
+def _hef_bwd(bound, n_min, max_res, backend, res, g):
+    xyz, sizes = res
+    n_levels = len(sizes)
+    F = sizes[0][1]
+    specs = []
+    off = 0
+    resolutions = level_resolutions(n_levels, n_min, max_res)
+    for l in range(n_levels):
+        specs.append((resolutions[l], sizes[l][0], off))
+        off += sizes[l][0]
+    total = off
+
+    keys, w = hashgrid_keys_weights(xyz, specs, bound)    # [N, L, 8]
+    n = xyz.shape[0]
+    vals = w[..., None] * g.reshape(n, n_levels, 1, F)    # [N, L, 8, F]
+    keys_f = keys.reshape(-1)
+    vals_f = vals.reshape(-1, F)
+
+    if backend == "auto":
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        use_pallas = platform in ("tpu", "axon")
+    else:
+        use_pallas = backend == "pallas"
+    if use_pallas:
+        from gaussianprediction_tpu.ops import hashgrid_pallas
+
+        ops = (keys_f,) + tuple(vals_f[:, i] for i in range(F))
+        srt = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        dflat = hashgrid_pallas.scatter_add_sorted(
+            srt[0], jnp.stack(srt[1:]), total
+        ).T                                               # [S, F]
+    else:
+        dflat = jnp.zeros((total, F), jnp.float32).at[keys_f].add(vals_f)
+
+    dtables = {}
+    for l, (_, size, off_l) in enumerate(specs):
+        dtables[f"level_{l}"] = dflat[off_l:off_l + size]
+    return dtables, jnp.zeros_like(xyz)
+
+
+hashgrid_encode_fast.defvjp(_hef_fwd, _hef_bwd)
+
+
 def init_mlp(key, sizes: Sequence[int]):
     """torch.nn.Linear-style init (U(±1/sqrt(fan_in)) for W and b)."""
     params = []

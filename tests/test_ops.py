@@ -135,6 +135,63 @@ class TestHashGrid:
         total = sum(float(jnp.abs(v).sum()) for v in g.values())
         assert np.isfinite(total) and total > 0
 
+    def test_fast_vjp_matches_ad(self):
+        """hashgrid_encode_fast: fwd identical to the plain encode; table
+        grads (sort-based VJP, both XLA and Pallas-interpret scatter paths)
+        identical to jax AD of the plain encode; xyz grads are zero by
+        contract (the call site stop-gradients xyz)."""
+        key = jax.random.PRNGKey(6)
+        tables = hashgrid.init_hashgrid(key, n_levels=4, n_features=2,
+                                        log2_T=10, n_min=4, max_res=32)
+        xyz = jnp.asarray(rnd(137, 3, seed=19) * 1.4)
+        cot = jnp.asarray(rnd(137, 8, seed=20))
+
+        e0 = hashgrid.hashgrid_encode(tables, xyz, bound=1.6, n_min=4,
+                                      max_res=32)
+        e1 = hashgrid.hashgrid_encode_fast(tables, xyz, 1.6, 4, 32)
+        np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), atol=1e-6)
+
+        def loss_ref(t):
+            return jnp.sum(
+                hashgrid.hashgrid_encode(t, xyz, bound=1.6, n_min=4,
+                                         max_res=32) * cot
+            )
+
+        g_ref = jax.grad(loss_ref)(tables)
+        for backend in ("xla", "pallas"):
+            g_fast, g_xyz = jax.grad(
+                lambda t, x: jnp.sum(
+                    hashgrid.hashgrid_encode_fast(t, x, 1.6, 4, 32, backend)
+                    * cot
+                ),
+                argnums=(0, 1),
+            )(tables, xyz)
+            for k in tables:
+                np.testing.assert_allclose(
+                    np.asarray(g_ref[k]), np.asarray(g_fast[k]), atol=1e-5,
+                    err_msg=f"{backend}:{k}",
+                )
+            assert float(jnp.abs(g_xyz).max()) == 0.0
+
+    def test_fourier_encoder(self):
+        from gaussianprediction_tpu.ops import fourier_enc
+
+        B = fourier_enc.fourier_dirs(4, 2, n_min=4, max_res=32)
+        assert B.shape == (3, 8)
+        # deterministic across calls
+        B2 = fourier_enc.fourier_dirs(4, 2, n_min=4, max_res=32)
+        np.testing.assert_array_equal(np.asarray(B), np.asarray(B2))
+        xyz = jnp.asarray(rnd(16, 3, seed=21))
+        f = fourier_enc.fourier_encode(B, xyz)
+        assert f.shape == (16, fourier_enc.fourier_feature_dim(4, 2))
+        assert np.all(np.isfinite(np.asarray(f)))
+        # sin^2 + cos^2 == 1 per column pair
+        s, c = np.asarray(f[:, :8]), np.asarray(f[:, 8:])
+        np.testing.assert_allclose(s * s + c * c, 1.0, atol=1e-5)
+        # continuity
+        f1 = fourier_enc.fourier_encode(B, xyz + 1e-6)
+        assert float(jnp.abs(f1 - f).max()) < 1e-3
+
     def test_interpolation_continuity(self):
         # moving a point slightly moves features slightly (trilinear)
         key = jax.random.PRNGKey(4)

@@ -259,6 +259,22 @@ class TestStageSchedule:
         m = tr.train_one(141)
         assert np.isfinite(float(m["loss"]))
 
+    def test_full_stage_progression_fourier_encoder(self):
+        """Same progression with the MXU Fourier weight encoder (the
+        TPU-first fast path): no hash tables in params, stages 2/3 train."""
+        cfg = small_cfg()
+        cfg.model.weight_encoder = "fourier"
+        info = synthetic_scene_info(
+            n_points=80, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        assert "hash_tables" not in tr.state.params
+        tr.run(iterations=140, model_path=None)
+        assert int(tr.state.n_kpts()) >= cfg.model.max_points
+        m = tr.train_one(141)
+        assert np.isfinite(float(m["loss"]))
+
 
 class TestMultiStepChunks:
     def test_chunked_matches_semantics(self):
