@@ -30,6 +30,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from gaussianprediction_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from gaussianprediction_tpu.data.synthetic import (
         orbit_camera, random_gaussians,
     )

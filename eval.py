@@ -27,6 +27,11 @@ def _maybe_force_cpu():
 
 def main():
     _maybe_force_cpu()
+    from gaussianprediction_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-s", "--source_path", default=None)

@@ -178,9 +178,31 @@ def grow_keypoints_from_grads(
 
     max_new: static FPS sample budget (>= any select_num that can occur).
     """
-    params = state.params
     grads = _grads_from_stats(state)
     mask = state.alive & (grads > cfg.opt.densify_grad_threshold)
+    return _grow_keypoints(state, opt_state, cfg, max_new, mask, ratio)
+
+
+def grow_keypoints_from_teaching(
+    state: GaussianState, opt_state, cfg: Config, max_new: int,
+    ratio: int = 100,
+):
+    """Teacher-guided keypoint growth (gaussian_model.py:277-283 ->
+    get_new_kpts :196-212): FPS over Gaussians whose blended motion
+    diverges from their stage-1 per-Gaussian ("teacher") motion by more
+    than teaching_threshold — the residual max is accumulated per step in
+    train/step.py as xyz_motion_accum_max."""
+    mask = state.alive & (
+        state.xyz_motion_accum_max >= cfg.train.teaching_threshold
+    )
+    return _grow_keypoints(state, opt_state, cfg, max_new, mask, ratio)
+
+
+def _grow_keypoints(
+    state: GaussianState, opt_state, cfg: Config, max_new: int, mask,
+    ratio: int,
+):
+    params = state.params
     count = jnp.sum(mask)
     select = jnp.where(count > ratio, count // ratio, 1)
     kpt_free = ~state.kpt_alive

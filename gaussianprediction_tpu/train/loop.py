@@ -123,6 +123,10 @@ class Trainer:
             lambda s, o: dn.grow_keypoints_from_grads(s, o, cfg, max_new),
             donate_argnums=(0, 1),
         )
+        self._jit_grow_kpts_teach = jax.jit(
+            lambda s, o: dn.grow_keypoints_from_teaching(s, o, cfg, max_new),
+            donate_argnums=(0, 1),
+        )
 
     # ---- jitted-step cache ------------------------------------------------
     def _step_fn(self, stage: int):
@@ -133,6 +137,19 @@ class Trainer:
                 float(self.scene.cameras_extent), self.active_sh_degree,
                 self.scene.total_frame, self.bg, interpret=self.interpret,
             )[0]
+        return self._steps[key]
+
+    def _batched_step_fn(self, stage: int, b: int):
+        from gaussianprediction_tpu.train.step import make_train_step_batched
+
+        key = ("batch", stage, self.active_sh_degree, b)
+        if key not in self._steps:
+            self._steps[key] = make_train_step_batched(
+                self.cfg, stage, self.width, self.height,
+                float(self.scene.cameras_extent), self.active_sh_degree,
+                self.scene.total_frame, self.bg, b,
+                interpret=self.interpret,
+            )
         return self._steps[key]
 
     def _multi_step_fn(self, stage: int, k: int):
@@ -148,12 +165,14 @@ class Trainer:
             )
         return self._steps[key]
 
-    def _chunk_end(self, a: int, iterations: int) -> int:
+    def _chunk_end(self, a: int, iterations: int,
+                   span: Optional[int] = None) -> int:
         """Largest b >= a such that iterations [a, b] contain no host event
         (chunk runs steps a..b in one device call; events at b are handled
         after the chunk, mirroring the reference's post-step ordering)."""
         cfg = self.cfg
         o, t = cfg.opt, cfg.train
+        span = self.steps_per_call if span is None else span
 
         def next_mult(x, m):
             return ((x // m) + 1) * m
@@ -168,11 +187,12 @@ class Trainer:
         post = [next_mult(a - 1, o.densification_interval)]
         post.append(next_mult(a - 1, o.opacity_reset_interval))
         post.append(next_mult(a - 1, t.adaptive_interval))
-        for e in list(t.save_iterations) + list(t.checkpoint_iterations):
+        for e in (list(t.save_iterations) + list(t.checkpoint_iterations)
+                  + list(t.test_iterations)):
             if e >= a:
                 post.append(e)
         b = min(
-            a + self.steps_per_call - 1,
+            a + span - 1,
             iterations,
             min(pre) - 1,
             min(post),
@@ -223,8 +243,11 @@ class Trainer:
                 size_thr = 20 if iteration > o.opacity_reset_interval else None
                 self.state = self._jit_prune[size_thr](self.state)
 
-        # adaptive keypoint growth (train.py:181-192)
-        if stage >= 2 and cfg.train.densify_from_grad:
+        # adaptive keypoint growth (train.py:181-192): teaching-residual
+        # growth first (densification_motion_postfix), then gradient-driven
+        # densify_kpts — the reference's in-loop order.
+        if stage >= 2 and (cfg.train.densify_from_grad
+                           or cfg.train.densify_from_teaching):
             s2 = cfg.train.second_stage_iteration
             if (
                 iteration < cfg.train.adaptive_end_iter + s2
@@ -232,12 +255,54 @@ class Trainer:
                 and iteration > cfg.train.adaptive_from_iter + s2
                 and iteration % cfg.train.adaptive_interval == 0
             ):
-                self.state, self.opt_state = self._jit_grow_kpts(
-                    self.state, self.opt_state
-                )
+                if cfg.train.densify_from_teaching:
+                    self.state, self.opt_state = self._jit_grow_kpts_teach(
+                        self.state, self.opt_state
+                    )
+                if cfg.train.densify_from_grad:
+                    self.state, self.opt_state = self._jit_grow_kpts(
+                        self.state, self.opt_state
+                    )
                 if not self.quiet:
                     print(f"[iter {iteration}] keypoints -> "
                           f"{int(self.state.n_kpts())}")
+
+    def training_report(self, iteration: int) -> Dict:
+        """In-training evaluation (training_report twin,
+        /root/reference/train.py:252-287): render the full test split plus
+        5 fixed-stride train views at `cfg.train.test_iterations`, log mean
+        L1/PSNR to stdout and history.json."""
+        from gaussianprediction_tpu.eval.render import render_set
+        from gaussianprediction_tpu.utils.image import psnr as psnr_fn
+
+        scene = self.scene
+        n_train = len(scene.train_cameras)
+        train_sample = [
+            scene.train_cameras[idx % n_train] for idx in range(5, 30, 5)
+        ] if n_train else []
+        report: Dict = {"iter": iteration}
+        for name, views in (("test", scene.test_cameras),
+                            ("train", train_sample)):
+            if not views:
+                continue
+            renders, gts, _ = render_set(
+                self.state, self.cfg, iteration, views, self.bg,
+                sh_degree=self.active_sh_degree, interpret=self.interpret,
+            )
+            l1s, psnrs = [], []
+            for r, g in zip(renders, gts):
+                l1s.append(float(np.mean(np.abs(r - g))))
+                psnrs.append(float(psnr_fn(jnp.asarray(r), jnp.asarray(g))))
+            report[f"{name}_l1"] = float(np.mean(l1s))
+            report[f"{name}_psnr"] = float(np.mean(psnrs))
+            if not self.quiet:
+                print(
+                    f"[ITER {iteration}] eval {name}: "
+                    f"L1 {report[f'{name}_l1']:.5f} "
+                    f"PSNR {report[f'{name}_psnr']:.2f}"
+                )
+        self._history.append({"eval": report})
+        return report
 
     # ---- main loop --------------------------------------------------------
     def train_one(self, iteration: int) -> Dict:
@@ -255,6 +320,33 @@ class Trainer:
             jnp.float32(cam.time), jnp.int32(iteration), k_step,
         )
         self._densification(iteration, stage)
+        return metrics
+
+    def train_batch(self, a: int, b: int) -> Dict:
+        """Gradient accumulation over iterations [a, b] with ONE optimizer
+        step (reference --batch, train.py:112-133). Host events run at the
+        batch's final iteration only — the reference's `continue`-gated
+        flow skips them on incomplete batches too."""
+        cfg = self.cfg
+        if a % 1000 == 0 and self.active_sh_degree < cfg.model.sh_degree:
+            self.active_sh_degree += 1
+        self._maybe_stage_transition(a)
+        stage = stage_of(cfg, a)
+        k = b - a + 1
+        cams = [self.scene.next_train_camera() for _ in range(k)]
+        cam_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[c.to_device_dict() for c in cams],
+        )
+        gts = jnp.stack([jnp.asarray(c.load_image()) for c in cams])
+        times = jnp.asarray([c.time for c in cams], jnp.float32)
+        self.key, k_step = jax.random.split(self.key)
+        step = self._batched_step_fn(stage, k)
+        self.state, self.opt_state, metrics = step(
+            self.state, self.opt_state, cam_batch, gts, times,
+            jnp.int32(a), k_step,
+        )
+        self._densification(b, stage)
         return metrics
 
     def train_chunk(self, a: int, b: int) -> Dict:
@@ -289,9 +381,18 @@ class Trainer:
         model_path = model_path or cfg.model_path
         t0 = time.time()
         iteration = self.iteration
+        batch = max(1, cfg.train.batch)
         while iteration < iterations:
             a = iteration + 1
-            if self.steps_per_call > 1:
+            if batch > 1:
+                b = self._chunk_end(a, iterations, span=batch)
+                if b - a + 1 == batch:
+                    metrics = self.train_batch(a, b)
+                    iteration = b
+                else:
+                    metrics = self.train_one(a)
+                    iteration = a
+            elif self.steps_per_call > 1:
                 b = self._chunk_end(a, iterations)
                 if (
                     b - a + 1 == self.steps_per_call
@@ -331,6 +432,8 @@ class Trainer:
                         f"[{iteration}/{iterations}] loss {loss:.5f} "
                         f"psnr {p:.2f} n={entry['n_gaussians']}"
                     )
+            if iteration in cfg.train.test_iterations:
+                self.training_report(iteration)
             if model_path:
                 if iteration in cfg.train.save_iterations:
                     G.save_ply(

@@ -176,7 +176,124 @@ def make_train_step(cfg: Config, stage: int, width: int, height: int,
         }
         return state, opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1)), step
+    return jax.jit(step, donate_argnums=(0, 1)), step, loss_fn
+
+
+def make_train_step_batched(cfg: Config, stage: int, width: int, height: int,
+                            spatial_scale: float, sh_degree: int,
+                            total_frame: int, bg, batch: int,
+                            interpret: Optional[bool] = None):
+    """Gradient accumulation over `batch` renders, ONE optimizer step
+    (/root/reference/train.py:112-133): losses summed, radii combined by
+    max, visibility by any, screen-space gradients by sum; densification
+    statistics and the Adam update execute once per completed batch at the
+    batch's last iteration index — exactly the reference's `continue`-gated
+    flow. Renders run sequentially under lax.scan (the rasterizer is a
+    Pallas custom_vjp, not vmappable), which matches the reference's
+    sequential accumulation."""
+    _, _, loss_fn = make_train_step(
+        cfg, stage, width, height, spatial_scale, sh_degree, total_frame,
+        bg, interpret=interpret,
+    )
+
+    def step(state: GaussianState, opt_state, cams, gts, times, iteration0,
+             key):
+        keys = jax.random.split(key, 2 * batch).reshape(batch, 2, -1)
+        dummy = jnp.zeros((state.capacity, 2), jnp.float32)
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            grads_acc, vsg_acc, radii_acc, vis_acc, loss_acc = carry
+            cam, gt, t, j, ks = xs
+            it = iteration0 + j
+            t = time_with_noise(cfg, t, it, ks[1], stage, total_frame)
+            (loss, aux), (g, vsg) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, dummy, state, cam, gt, t, it, ks[0])
+            carry = (
+                jax.tree.map(jnp.add, grads_acc, g),
+                vsg_acc + vsg,
+                jnp.maximum(radii_acc, aux["radii"]),
+                vis_acc | aux["visibility"],
+                loss_acc + loss,
+            )
+            m = {"l1": aux["l1"], "psnr": aux["psnr"],
+                 "n_dropped": aux["n_dropped"],
+                 "delta_xyz": aux["delta_xyz"]}
+            return carry, m
+
+        init = (
+            zero_grads,
+            jnp.zeros((state.capacity, 2), jnp.float32),
+            jnp.zeros_like(state.max_radii2D),
+            jnp.zeros((state.capacity,), bool),
+            jnp.float32(0.0),
+        )
+        (grads, vs_grads, radii, vis, loss), ms = jax.lax.scan(
+            body, init,
+            (cams, gts, times, jnp.arange(batch, dtype=jnp.int32), keys),
+        )
+        iteration = iteration0 + batch - 1
+
+        vs_norm = jnp.linalg.norm(vs_grads, axis=-1)
+        in_densify = iteration < cfg.opt.densify_until_iter
+        if stage >= 2:
+            in_adaptive = (
+                (iteration < cfg.train.adaptive_end_iter
+                 + cfg.train.second_stage_iteration)
+                & (state.n_kpts() < cfg.model.kpt_capacity())
+            )
+        else:
+            in_adaptive = jnp.asarray(False)
+        do_stats = (in_densify | in_adaptive) & vis
+        state = state.replace(
+            max_radii2D=jnp.where(
+                do_stats, jnp.maximum(state.max_radii2D, radii),
+                state.max_radii2D,
+            ),
+            xyz_gradient_accum=state.xyz_gradient_accum
+            + jnp.where(do_stats, vs_norm, 0.0),
+            xyz_gradient_accum_max=jnp.where(
+                do_stats & (vs_norm > state.xyz_gradient_accum_max),
+                vs_norm, state.xyz_gradient_accum_max,
+            ),
+            denom=state.denom + do_stats.astype(jnp.float32),
+        )
+        if stage >= 2 and cfg.train.densify_from_teaching:
+            t_pe = D.time_encode(cfg, times[-1])
+            resid = D.teacher_motion_residual(
+                state.params, cfg, t_pe,
+                jax.tree.map(lambda x: x[-1], ms["delta_xyz"]),
+            )
+            in_window = (
+                (iteration >= cfg.train.adaptive_from_iter
+                 + cfg.train.second_stage_iteration)
+                & (iteration < cfg.train.adaptive_end_iter
+                   + cfg.train.second_stage_iteration)
+            )
+            state = state.replace(
+                xyz_motion_accum_max=jnp.where(
+                    in_window & (resid > state.xyz_motion_accum_max),
+                    resid, state.xyz_motion_accum_max,
+                ),
+                motion_denom=state.motion_denom
+                + in_window.astype(jnp.float32),
+            )
+
+        new_params, opt_state = opt_mod.adam_step(
+            state.params, grads, opt_state, cfg, max(stage, 1),
+            spatial_scale, iteration,
+        )
+        state = state.replace(params=new_params)
+        metrics = {
+            "loss": loss,
+            "l1": jnp.mean(ms["l1"]),
+            "psnr": jnp.mean(ms["psnr"]),
+            "n_dropped": jnp.max(ms["n_dropped"]),
+        }
+        return state, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_train_step_multi(cfg: Config, stage: int, width: int, height: int,
@@ -191,7 +308,7 @@ def make_train_step_multi(cfg: Config, stage: int, width: int, height: int,
     aligns chunk boundaries with its events (densify cadence, stage
     transitions, SH bumps) in train/loop.py.
     """
-    _, inner = make_train_step(
+    _, inner, _ = make_train_step(
         cfg, stage, width, height, spatial_scale, sh_degree, total_frame,
         bg, interpret=interpret,
     )

@@ -142,3 +142,65 @@ class TestRenderDrivers:
         # trajectories actually move over time (dynamic scene)
         motion = np.abs(traj.kpts_xyz_train[0] - traj.kpts_xyz_train[-1])
         assert motion.max() > 1e-4
+
+
+class TestLPIPSExport:
+    def test_export_and_compute_with_random_weights(self, tmp_path,
+                                                    monkeypatch):
+        """tools/export_lpips_npz.py round-trip: build torchvision-layout
+        state dicts with random weights, export, load via try_load_lpips,
+        and compute — LPIPS(a, a) must be 0 and LPIPS(a, b) > 0."""
+        torch = pytest.importorskip("torch")
+        import sys
+        sys.path.insert(0, "/root/repo/tools")
+        import export_lpips_npz as ex
+
+        rng = np.random.default_rng(0)
+
+        def t(*shape):
+            return torch.from_numpy(
+                rng.normal(scale=0.2, size=shape).astype(np.float32)
+            )
+
+        # torchvision vgg16().features conv layout (13 convs)
+        vgg_cfg = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+                   (256, 256), (256, 256), (512, 256), (512, 512),
+                   (512, 512), (512, 512), (512, 512), (512, 512)]
+        vgg_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        vgg_sd = {}
+        for (o, i), idx in zip(vgg_cfg, vgg_idx):
+            vgg_sd[f"{idx}.weight"] = t(o, i, 3, 3)
+            vgg_sd[f"{idx}.bias"] = t(o)
+        alex_cfg = [(64, 3, 11), (192, 64, 5), (384, 192, 3),
+                    (256, 384, 3), (256, 256, 3)]
+        alex_idx = [0, 3, 6, 8, 10]
+        alex_sd = {}
+        for (o, i, k), idx in zip(alex_cfg, alex_idx):
+            alex_sd[f"{idx}.weight"] = t(o, i, k, k)
+            alex_sd[f"{idx}.bias"] = t(o)
+        lin_vgg = {
+            f"lin{k}.model.1.weight": torch.abs(t(1, c, 1, 1))
+            for k, c in enumerate(ex.VGG_CHANNELS)
+        }
+        vgg_p = str(tmp_path / "vgg.pth")
+        alex_p = str(tmp_path / "alex.pth")
+        lin_p = str(tmp_path / "lin_vgg.pth")
+        torch.save(vgg_sd, vgg_p)
+        torch.save(alex_sd, alex_p)
+        torch.save(lin_vgg, lin_p)
+
+        out = str(tmp_path / "lpips.npz")
+        ex.main(["--out", out, "--vgg-pth", vgg_p, "--alex-pth", alex_p,
+                 "--vgg-lin-pth", lin_p])
+
+        from gaussianprediction_tpu.eval import lpips as L
+
+        monkeypatch.setenv("GPT_LPIPS_WEIGHTS", out)
+        fn = L.try_load_lpips()
+        assert fn is not None
+        a = rng.uniform(0, 1, (40, 48, 3)).astype(np.float32)
+        b = rng.uniform(0, 1, (40, 48, 3)).astype(np.float32)
+        lv0, la0 = fn(a, a)
+        lv, la = fn(a, b)
+        assert abs(lv0) < 1e-6 and abs(la0) < 1e-6
+        assert lv > 0 and la > 0 and np.isfinite(lv) and np.isfinite(la)

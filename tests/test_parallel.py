@@ -87,7 +87,7 @@ class TestShardedStep:
         key = jax.random.PRNGKey(7)
 
         # single-device step
-        single, _ = make_train_step(
+        single, _, _ = make_train_step(
             cfg, 2, W, H, 1.0, cfg.model.sh_degree, 8,
             np.zeros(3, np.float32), interpret=True,
         )

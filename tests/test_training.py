@@ -339,3 +339,141 @@ class TestStageAwareResume:
         assert tr2.iteration == 130
         m = tr2.train_one(131)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestBatchAccumulation:
+    def test_batched_step_equals_summed_grads(self):
+        """--batch semantics (reference train.py:112-133): one batched step
+        == per-member grads summed, radii maxed, then one Adam update."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+        from gaussianprediction_tpu.train.step import (
+            make_train_step, make_train_step_batched, time_with_noise,
+        )
+
+        cfg = small_cfg()
+        B = 3
+        info = synthetic_scene_info(
+            n_points=48, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        scene = Scene(info)
+        tr = Trainer(cfg, scene, interpret=True, quiet=True)
+        extent = float(scene.cameras_extent)
+        W = H = 32
+
+        cams = [scene.train_cameras[i] for i in range(B)]
+        cam_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[c.to_device_dict() for c in cams],
+        )
+        gts = jnp.stack([jnp.asarray(c.load_image()) for c in cams])
+        times = jnp.asarray([c.time for c in cams], jnp.float32)
+        key = jax.random.PRNGKey(7)
+        it0 = 30  # stage 1
+
+        # manual reference FIRST (the batched step donates its inputs)
+        _, _, loss_fn = make_train_step(
+            cfg, 1, W, H, extent, 1, scene.total_frame,
+            np.zeros(3, np.float32), interpret=True,
+        )
+        keys = jax.random.split(key, 2 * B).reshape(B, 2, -1)
+        dummy = jnp.zeros((tr.state.capacity, 2), jnp.float32)
+        total = None
+        loss_sum = 0.0
+        for j in range(B):
+            it = jnp.int32(it0 + j)
+            t = time_with_noise(cfg, times[j], it, keys[j, 1], 1,
+                                scene.total_frame)
+            (loss, aux), (g, _) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(tr.state.params, dummy, tr.state,
+              jax.tree.map(lambda x: x[j], cam_batch), gts[j], t, it,
+              keys[j, 0])
+            loss_sum += float(loss)
+            total = g if total is None else jax.tree.map(jnp.add, total, g)
+
+        from gaussianprediction_tpu.train.optimizer import adam_step
+
+        ref_params, _ = adam_step(
+            tr.state.params, total, tr.opt_state, cfg, 1, extent,
+            jnp.int32(it0 + B - 1),
+        )
+        ref_params = jax.tree.map(np.asarray, ref_params)
+
+        batched = make_train_step_batched(
+            cfg, 1, W, H, extent, 1, scene.total_frame,
+            np.zeros(3, np.float32), B, interpret=True,
+        )
+        s_b, o_b, m_b = batched(
+            tr.state, tr.opt_state, cam_batch, gts, times, jnp.int32(it0),
+            key,
+        )
+        np.testing.assert_allclose(float(m_b["loss"]), loss_sum, rtol=1e-5)
+        for k in ("xyz", "opacity", "scaling"):
+            np.testing.assert_allclose(
+                np.asarray(s_b.params[k]), np.asarray(ref_params[k]),
+                atol=1e-6, err_msg=k,
+            )
+
+    def test_trainer_runs_with_batch(self):
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        cfg.train.batch = 2
+        info = synthetic_scene_info(
+            n_points=48, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True,
+                     log_every=10)
+        tr.run(iterations=30, model_path=None)
+        assert tr.iteration == 30
+        h = tr._history
+        assert np.isfinite(h[-1]["loss"])
+
+
+class TestTrainingReport:
+    def test_report_at_test_iterations(self):
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        cfg.train.test_iterations = (20,)
+        info = synthetic_scene_info(
+            n_points=48, n_cams=6, n_test=2, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr.run(iterations=25, model_path=None)
+        evals = [e["eval"] for e in tr._history if "eval" in e]
+        assert len(evals) == 1
+        rep = evals[0]
+        assert rep["iter"] == 20
+        assert np.isfinite(rep["test_psnr"]) and rep["test_psnr"] > 0
+        assert np.isfinite(rep["train_psnr"])
+        assert 0 <= rep["test_l1"] < 1
+
+
+class TestTeacherGuidedGrowth:
+    def test_keypoints_grow_from_teaching(self):
+        """densify_from_teaching: the xyz_motion_accum_max residual mask
+        must grow keypoints through the adaptive cadence
+        (gaussian_model.py:277-283,613-631)."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        cfg.train.densify_from_teaching = True
+        cfg.train.densify_from_grad = False
+        cfg.train.teaching_threshold = 0.0  # every residual triggers
+        info = synthetic_scene_info(
+            n_points=60, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        tr.run(iterations=70, model_path=None)  # stage 2 starts at 61
+        k_start = int(tr.state.n_kpts())
+        assert k_start == cfg.model.max_points
+        # adaptive window: (61+20, 61+100), interval 30 -> grows at 90, 120
+        tr.run(iterations=125, model_path=None)
+        assert int(tr.state.n_kpts()) > k_start
+        # residual stats were consumed and reset
+        assert float(jnp.max(tr.state.xyz_motion_accum_max)) >= 0.0

@@ -108,6 +108,11 @@ def _maybe_force_cpu():
 
 def main():
     _maybe_force_cpu()
+    from gaussianprediction_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     args = build_parser().parse_args()
     cfg = resolve_config(args)
 
