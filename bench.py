@@ -48,7 +48,7 @@ def main():
         W = H = 800
         N = 200_000
         interpret = False
-        iters = 20
+        iters = 4
     else:  # CPU fallback (interpret mode): tiny proof-of-life shapes
         W = H = 64
         N = 1000
@@ -76,21 +76,39 @@ def main():
         )
         return jnp.mean(jnp.abs(out["render"] - 0.5)), out["n_dropped"]
 
-    grad_fn = jax.jit(
-        lambda *a: jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
-                                      has_aux=True)(*a)
-    )
+    vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
+
+    # REPS chained fwd+bwd renders per device call: the tunneled-TPU
+    # dispatch costs ~50-100 ms per call, which would dominate a per-call
+    # measurement. Each rep feeds a denormal-scaled gradient statistic back
+    # into the opacity so XLA cannot hoist or elide any iteration (the
+    # perturbation underflows to zero arithmetic change).
+    REPS = 8 if not interpret else 1
+
+    def chained(xyz, scal, rot, op, shs):
+        def body(i, carry):
+            op_c, acc, nd_c = carry
+            (l, nd), grads = vg(xyz, scal, rot, op_c, shs)
+            dep = 1e-38 * jnp.mean(grads[3])
+            return op_c + dep, acc + l, jnp.maximum(nd_c, nd)
+
+        _, acc, nd = jax.lax.fori_loop(
+            0, REPS, body, (op, jnp.float32(0.0), jnp.int32(0))
+        )
+        return acc, nd
+
+    bench_fn = jax.jit(chained)
 
     # compile + warmup (forced host sync)
-    (l, nd), grads = grad_fn(xyz, scal, rot, op, shs)
+    l, nd = bench_fn(xyz, scal, rot, op, shs)
     _ = float(l)
     n_dropped = int(nd)
 
     t0 = time.time()
     for _ in range(iters):
-        (l, nd), grads = grad_fn(xyz, scal, rot, op, shs)
+        l, nd = bench_fn(xyz, scal, rot, op, shs)
         _ = float(l)  # host sync
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * REPS)
     rays_per_s = W * H / dt
 
     result = {
@@ -104,7 +122,8 @@ def main():
             "n_dropped": n_dropped,
             "platform": jax.devices()[0].platform,
             "note": "fwd+bwd through the full differentiable render "
-                    "(projection+SH+binning+Pallas blend), host-synced",
+                    "(projection+SH+binning+Pallas blend); 8 chained "
+                    "renders per device call, host-synced per call",
         },
     }
     print(json.dumps(result))

@@ -16,15 +16,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(f, *args, iters=5):
-    r = jax.block_until_ready(f(*args))
-    # force real sync through the tunnel: fetch one scalar
-    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
+REPS = 10
+
+
+def timeit(f, *args, iters=2):
+    """Repeat the op REPS times INSIDE one jit (tunnel RTT is ~20-50 ms per
+    dispatch, swamping per-call timing) and sync on a device-side scalar.
+    The first arg is perturbed with the loop counter so XLA can't hoist."""
+
+    def rep(*a):
+        def body(i, carry):
+            acc, x0 = carry
+            if jnp.issubdtype(x0.dtype, jnp.integer):
+                x = x0 ^ (i & 1)
+            else:
+                x = x0 + (i & 1).astype(x0.dtype) * 1e-12
+            r = f(x, *a[1:])
+            leaf = jax.tree.leaves(r)[0]
+            return acc + leaf.ravel()[0].astype(jnp.float32), x0
+
+        acc, _ = jax.lax.fori_loop(0, REPS, body, (jnp.float32(0), a[0]))
+        return acc
+
+    g = jax.jit(rep)
+    _ = float(g(*args))  # compile
     t0 = time.time()
     for _ in range(iters):
-        r = f(*args)
-        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
-    return (time.time() - t0) / iters * 1000
+        _ = float(g(*args))
+    return (time.time() - t0) / (iters * REPS) * 1000
 
 
 if __name__ == "__main__":
@@ -39,8 +58,9 @@ if __name__ == "__main__":
     enable_compilation_cache()
     print("devices:", jax.devices(), flush=True)
 
+    part2 = "--part2" in sys.argv
     rng = np.random.default_rng(0)
-    for n in (2_457_600, 3_737_600):
+    for n in () if part2 else (2_457_600, 3_737_600):
         keys = jnp.asarray(rng.integers(0, 10001, n).astype(np.int32))
         vals = [jnp.asarray(rng.normal(size=n).astype(np.float32))
                 for _ in range(9)]
@@ -54,20 +74,34 @@ if __name__ == "__main__":
 
     n = 3_737_600
     x = jnp.asarray(rng.normal(size=(n, 10)).astype(np.float32))
-    ms = timeit(jax.jit(lambda a: jnp.cumsum(a, axis=0)), x)
-    print(f"cumsum [n,10] axis=0: {ms:.2f} ms", flush=True)
-    xt = jnp.asarray(np.ascontiguousarray(x.T))
-    ms = timeit(jax.jit(lambda a: jnp.cumsum(a, axis=1)), xt)
-    print(f"cumsum [10,n] axis=1: {ms:.2f} ms", flush=True)
+    if not part2:
+        ms = timeit(jax.jit(lambda a: jnp.cumsum(a, axis=0)), x)
+        print(f"cumsum [n,10] axis=0: {ms:.2f} ms", flush=True)
+        xt = jnp.asarray(np.ascontiguousarray(x.T))
+        ms = timeit(jax.jit(lambda a: jnp.cumsum(a, axis=1)), xt)
+        print(f"cumsum [10,n] axis=1: {ms:.2f} ms", flush=True)
 
-    # monotone row gather [n,16] from sorted indices
-    mat = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
-    idx = jnp.sort(jnp.asarray(rng.integers(0, n, n).astype(np.int32)))
-    ms = timeit(jax.jit(lambda m, i: m[i]), mat, idx)
-    print(f"monotone row gather [n,16]: {ms:.2f} ms", flush=True)
-    matT = jnp.asarray(np.ascontiguousarray(mat.T))
-    ms = timeit(jax.jit(lambda m, i: m[:, i]), matT, idx)
-    print(f"monotone col gather [16,n]: {ms:.2f} ms", flush=True)
+        # monotone row gather [n,16] from sorted indices
+        mat = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+        idx = jnp.sort(jnp.asarray(rng.integers(0, n, n).astype(np.int32)))
+        ms = timeit(jax.jit(lambda m, i: m[i]), mat, idx)
+        print(f"monotone row gather [n,16]: {ms:.2f} ms", flush=True)
+        matT = jnp.asarray(np.ascontiguousarray(mat.T))
+        ms = timeit(jax.jit(lambda m, i: m[:, i]), matT, idx)
+        print(f"monotone col gather [16,n]: {ms:.2f} ms", flush=True)
+        # small-table gathers (the shapes build_instances actually uses)
+        Nsm = 204_800
+        sm = jnp.asarray(rng.normal(size=(Nsm, 16)).astype(np.float32))
+        idx_mono = jnp.sort(
+            jnp.asarray(rng.integers(0, Nsm, n).astype(np.int32))
+        )
+        ms = timeit(jax.jit(lambda m, i: m[i]), sm, idx_mono)
+        print(f"monotone gather [205k,16] at 3.7M idx: {ms:.2f} ms",
+              flush=True)
+        idx_rand = jnp.asarray(rng.integers(0, Nsm, Nsm).astype(np.int32))
+        ms = timeit(jax.jit(lambda m, i: m[i]), sm, idx_rand)
+        print(f"random gather [205k,16] at 205k idx: {ms:.2f} ms",
+              flush=True)
 
     # Pallas segment-reduce of sorted keys vs cumsum trick
     from gaussianprediction_tpu.ops.hashgrid_pallas import scatter_add_sorted

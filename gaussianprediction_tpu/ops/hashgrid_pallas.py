@@ -35,6 +35,7 @@ BLOCK = 8192       # table slots per grid step (= HI * LO)
 HI = 64
 LO = 128
 CHUNK = 2048       # contributions per streamed chunk
+LANE = 128         # HBM lane tiling: DMA offsets must be multiples of this
 
 
 def _interpret_default() -> bool:
@@ -46,23 +47,31 @@ def _interpret_default() -> bool:
 
 
 def _accum_kernel(starts_ref, keys_ref, vals_ref, out_ref, kbuf, vbuf,
-                  sems, *, F: int):
+                  sems, *, F: int, F8: int):
     b = pl.program_id(0)
     base = b * BLOCK
-    s0 = starts_ref[b]
+    # Align the streamed range down to the lane tiling (Mosaic requires
+    # HBM slice offsets divisible by 128; searchsorted starts are not).
+    # Rows before the true start belong to earlier blocks: their
+    # local = key - base is negative, so the hi one-hot never matches and
+    # they contribute zero — same self-masking that already handles rows
+    # past the block's end.
+    s0 = (starts_ref[b] // LANE) * LANE
     n = starts_ref[b + 1] - s0
     nchunks = pl.cdiv(n, CHUNK)
 
     def kdma(slot, c):
+        off = pl.multiple_of(s0 + c * CHUNK, LANE)
         return pltpu.make_async_copy(
-            keys_ref.at[:, pl.ds(s0 + c * CHUNK, CHUNK)],
+            keys_ref.at[:, pl.ds(off, CHUNK)],
             kbuf.at[slot],
             sems.at[slot, 0],
         )
 
     def vdma(slot, c):
+        off = pl.multiple_of(s0 + c * CHUNK, LANE)
         return pltpu.make_async_copy(
-            vals_ref.at[:, pl.ds(s0 + c * CHUNK, CHUNK)],
+            vals_ref.at[:, pl.ds(off, CHUNK)],
             vbuf.at[slot],
             sems.at[slot, 1],
         )
@@ -99,6 +108,11 @@ def _accum_kernel(starts_ref, keys_ref, vals_ref, out_ref, kbuf, vbuf,
                 jax.lax.dot_general(
                     a, oh_lo, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # the v5e MXU natively multiplies bf16: DEFAULT silently
+                    # truncates the value operand to bf16 (~1e-3 gradient
+                    # error, observed); HIGHEST runs the 3-pass f32 dot.
+                    # The one-hot operand is exact either way.
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             )                                   # [HI, LO]
         return acc + jnp.stack(outs)
@@ -106,7 +120,12 @@ def _accum_kernel(starts_ref, keys_ref, vals_ref, out_ref, kbuf, vbuf,
     acc = jax.lax.fori_loop(
         0, nchunks, body, jnp.zeros((F, HI, LO), jnp.float32)
     )
-    out_ref[...] = acc.reshape(F, BLOCK)
+    out = acc.reshape(F, BLOCK)
+    if F8 > F:
+        out = jnp.concatenate(
+            [out, jnp.zeros((F8 - F, BLOCK), jnp.float32)], axis=0
+        )
+    out_ref[...] = out
 
 
 def scatter_add_sorted(keys_sorted, vals_sorted, n_slots: int,
@@ -119,6 +138,9 @@ def scatter_add_sorted(keys_sorted, vals_sorted, n_slots: int,
     if interpret is None:
         interpret = _interpret_default()
     F, M = vals_sorted.shape
+    # Mosaic requires sublane (dim-0) DMA slices aligned to the (8, 128)
+    # tiling: pad the channel dim to a multiple of 8
+    F8 = ((F + 7) // 8) * 8
     nb = pl.cdiv(n_slots, BLOCK)
     sentinel = jnp.int32(nb * BLOCK)
     starts = jnp.searchsorted(
@@ -129,8 +151,8 @@ def scatter_add_sorted(keys_sorted, vals_sorted, n_slots: int,
     keys_p = jnp.concatenate(
         [keys_sorted, jnp.full((CHUNK,), sentinel, jnp.int32)]
     )[None, :]
-    vals_p = jnp.concatenate(
-        [vals_sorted, jnp.zeros((F, CHUNK), jnp.float32)], axis=1
+    vals_p = jnp.zeros((F8, M + CHUNK), jnp.float32).at[:F, :M].set(
+        vals_sorted
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -141,18 +163,18 @@ def scatter_add_sorted(keys_sorted, vals_sorted, n_slots: int,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (F, BLOCK), lambda b, *_: (0, b), memory_space=pltpu.VMEM
+            (F8, BLOCK), lambda b, *_: (0, b), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 1, CHUNK), jnp.int32),
-            pltpu.VMEM((2, F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, F8, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_accum_kernel, F=F),
-        out_shape=jax.ShapeDtypeStruct((F, nb * BLOCK), jnp.float32),
+        functools.partial(_accum_kernel, F=F, F8=F8),
+        out_shape=jax.ShapeDtypeStruct((F8, nb * BLOCK), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, keys_p, vals_p)
-    return out[:, :n_slots]
+    return out[:F, :n_slots]

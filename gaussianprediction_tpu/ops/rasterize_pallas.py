@@ -94,6 +94,18 @@ def _chunk_quantities(data, px, py, T_in, done_in):
     latch (booleans are avoided in while-loop carries — Mosaic cannot
     legalize i1 vector yields).
     Returns dict of [PIX, CHUNK] and [PIX, 1] arrays.
+
+    ONE prefix scan per chunk (it was three in round 1):
+    - no or-scan for the done latch: om factors are in (0, 1], so the
+      unlatched running test_T = T_in·incl_all is monotone nonincreasing —
+      once one VALID instance trips test_T < eps, every later valid
+      instance in the chunk trips its own test too, so the raw trigger
+      already equals its or-scan on the positions where `valid` holds (and
+      `contribute` masks with `valid` anyway);
+    - no second product scan for T_out: prod over contributing factors ==
+      incl_all at the last contributing lane == min of incl_all over
+      contributing lanes (monotone nonincreasing, and factors after that
+      lane are 1), bitwise-identical association.
     """
     mx = data[C_MX:C_MX + 1, :]        # [1, CHUNK]
     my = data[C_MY:C_MY + 1, :]
@@ -118,20 +130,11 @@ def _chunk_quantities(data, px, py, T_in, done_in):
     T_run = T_in * excl                # [PIX, CHUNK]
     test_T = T_run * om
     trigger = valid & (test_T < T_EPS)
-    # or-scan via f32 max (Mosaic can't concatenate i1 vectors)
-    trig_scan = _inclusive_scan(
-        trigger.astype(jnp.float32), jnp.maximum, 0.0
-    )
-    contribute = valid & ~(trig_scan + done_in > 0.0)
+    contribute = valid & ~trigger & (done_in < 0.5)
     w = jnp.where(contribute, alpha * T_run, 0.0)
 
-    # Chunk totals as reductions (scan-tail slices break carry layouts and
-    # reduce_prod isn't lowered): factors are in (0, 1], so the inclusive
-    # product scan is monotone nonincreasing and its last element is its
-    # lane-min — an exact, supported reduction.
-    factors = jnp.where(contribute, om, 1.0)
     T_out = T_in * jnp.min(
-        _inclusive_scan(factors, jnp.multiply, 1.0), axis=1, keepdims=True
+        jnp.where(contribute, incl_all, 1.0), axis=1, keepdims=True
     )
     done_out = jnp.maximum(
         done_in, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
@@ -234,6 +237,26 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     d_rgbz = dpix[:, D_R:D_R + 4]          # [PIX, 4]
     Q = dpix[:, D_Q:D_Q + 1]               # [PIX, 1]
 
+    # Pixel-monomial moment matrix (constant per tile): all six per-channel
+    # column reductions below factor through Σ_p dpow·{1,x,y,x²,xy,y²} with
+    # TILE-LOCAL pixel coords (x,y ∈ [0,16): local monomials keep the
+    # moment recombination cancellation-free — global px² ~ 6e5 would
+    # amplify f32 roundoff ~6e3x), so ONE [8,PIX]@[PIX,CHUNK] MXU matmul
+    # replaces six [1,PIX]@[PIX,CHUNK] matmuls + eleven [PIX,CHUNK]
+    # elementwise products of the round-1 kernel.
+    lin_r = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pxr = (lin_r % 16).astype(jnp.float32)          # [1, PIX] local x
+    pyr = (lin_r // 16).astype(jnp.float32)         # [1, PIX] local y
+    mon = jnp.concatenate(
+        [jnp.ones((1, PIX), jnp.float32), pxr, pyr, pxr * pxr, pxr * pyr,
+         pyr * pyr, jnp.zeros((2, PIX), jnp.float32)],
+        axis=0,
+    )                                               # [8, PIX]
+    tile_y = t // grid_x
+    tile_x = t - tile_y * grid_x
+    ox = (tile_x * 16).astype(jnp.float32)          # tile origin
+    oy = (tile_y * 16).astype(jnp.float32)
+
     def get_dma(slot, c):
         off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
@@ -272,9 +295,13 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         rgbz = data[C_R:C_R + 4, :]            # [4, CHUNK]
         # v_{p,i} = c_i . d_rgb_p + z_i * d_z_p    [PIX, CHUNK]
+        # HIGHEST: the v5e MXU truncates f32 dot operands to bf16 by
+        # default; these two dots feed position/covariance gradients
+        # (~3e-4 relative error measured at default precision)
         v = jax.lax.dot_general(
             d_rgbz, rgbz, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         wv = w * v
         S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
@@ -284,28 +311,34 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             0.0,
         )
         op = data[C_OP:C_OP + 1, :]
-        Gv = q["Gv"]
-        dG_dop = jnp.where(contribute, Gv * dalpha, 0.0)
-        dpower = jnp.where(contribute, op * Gv * dalpha, 0.0)
-        dx, dy = q["dx"], q["dy"]
+        dpower = jnp.where(contribute, op * q["Gv"] * dalpha, 0.0)
+
+        # moments Σ_p dpower·{1,x,y,x²,xy,y²} (tile-local coords; see the
+        # `mon` comment above): one MXU contraction, then the six channel
+        # gradients recombine on [1, CHUNK] vectors.
+        mm = jax.lax.dot_general(
+            mon, dpower, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                      # [8, CHUNK]
+        s0 = mm[0:1, :]
+        sx, sy = mm[1:2, :], mm[2:3, :]
+        sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
+        mxl = data[C_MX:C_MX + 1, :] - ox      # [1, CHUNK] local mean
+        myl = data[C_MY:C_MY + 1, :] - oy
+        gx = sx - mxl * s0                     # Σ dpower·dx
+        gy = sy - myl * s0
         ca = data[C_CA:C_CA + 1, :]
         cb = data[C_CB:C_CB + 1, :]
         cc = data[C_CC:C_CC + 1, :]
-
-        ones = jnp.ones((1, PIX), jnp.float32)
-
-        def colsum(x):                      # [PIX, CHUNK] -> [1, CHUNK]
-            return jax.lax.dot_general(
-                ones, x, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        dmx = colsum(dpower * (ca * dx + cb * dy))
-        dmy = colsum(dpower * (cb * dx + cc * dy))
-        dca = colsum(-0.5 * dpower * dx * dx)
-        dcb = colsum(-dpower * dx * dy)
-        dcc = colsum(-0.5 * dpower * dy * dy)
-        dop = colsum(dG_dop)
+        dmx = ca * gx + cb * gy
+        dmy = cb * gx + cc * gy
+        dca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+        dcb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
+        dcc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+        # dop = Σ Gv·dalpha = Σ dpower / op (contributing instances have
+        # op ≥ ALPHA_MIN; zero-channel padding rows give 0/max(0,eps) = 0)
+        dop = s0 / jnp.maximum(op, 1e-9)
         # d color / d depth: [4, CHUNK] = d_rgbz^T @ w
         dcol = jax.lax.dot_general(
             d_rgbz, w, (((0,), (0,)), ((), ())),
