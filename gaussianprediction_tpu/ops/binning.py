@@ -56,7 +56,7 @@ def bin_gaussians(
     width: int,
     height: int,
     capacity: int,
-    max_tiles_per_gaussian: int = 64,
+    max_tiles_per_gaussian: int = 1024,
     align: int = 1,
 ) -> Binning:
     """Build the per-tile instance list. All shape params are static.
@@ -75,10 +75,23 @@ def bin_gaussians(
     tmax = proj.tiles_max[order]
     vis = proj.visible[order]
 
-    rect_w = tmax[:, 0] - tmin[:, 0]
-    rect_h = tmax[:, 1] - tmin[:, 1]
+    rect_w = jnp.maximum(tmax[:, 0] - tmin[:, 0], 0)
+    rect_h = jnp.maximum(tmax[:, 1] - tmin[:, 1], 0)
     count_full = jnp.where(vis, rect_w * rect_h, 0)
-    count = jnp.minimum(count_full, max_tiles_per_gaussian)
+    # footprint cap: sub-rect of <= max_tiles tiles CENTERED on the mean
+    # pixel (same policy as instance_stream._capped_rect; uncapped rects
+    # are unchanged — the clip bounds collapse to tmin)
+    rw_c = jnp.minimum(rect_w, max_tiles_per_gaussian)
+    rh_c = jnp.minimum(
+        rect_h,
+        jnp.maximum(max_tiles_per_gaussian // jnp.maximum(rw_c, 1), 1),
+    )
+    rh_c = jnp.where(rect_w > 0, rh_c, 0)
+    ctx = (proj.mean2d[order, 0] / TILE).astype(jnp.int32)
+    cty = (proj.mean2d[order, 1] / TILE).astype(jnp.int32)
+    x0 = jnp.clip(ctx - rw_c // 2, tmin[:, 0], tmax[:, 0] - rw_c)
+    y0 = jnp.clip(cty - rh_c // 2, tmin[:, 1], tmax[:, 1] - rh_c)
+    count = jnp.where(vis, rw_c * rh_c, 0)
     offsets = (jnp.cumsum(count) - count).astype(jnp.int32)
     total = offsets[-1] + count[-1]
 
@@ -87,10 +100,10 @@ def bin_gaussians(
     g = _inverse_ranges(offsets, jnp.minimum(j, total - 1), capacity)
     g = jnp.clip(g, 0, count.shape[0] - 1)
     k = j - offsets[g]
-    # row-major k-th tile of g's rect
-    rw = jnp.maximum(rect_w[g], 1)
-    ty = tmin[g, 1] + k // rw
-    tx = tmin[g, 0] + k % rw
+    # row-major k-th tile of g's capped rect
+    rw = jnp.maximum(rw_c[g], 1)
+    ty = y0[g] + k // rw
+    tx = x0[g] + k % rw
     valid = j < jnp.minimum(total, capacity)
     tile_id = jnp.where(valid, ty * grid_x + tx, sentinel)
     gauss_id = jnp.where(valid, order[g], 0)

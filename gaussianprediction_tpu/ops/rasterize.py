@@ -53,7 +53,7 @@ def render(
     interpret: Optional[bool] = None,
     tile_band=None,
     fast_binning: bool = True,
-    max_tiles: int = 64,
+    max_tiles: int = 1024,
     cov3d_precomp=None,    # [N, 6] packed covariance, bypasses scale/rot
 ):
     """Differentiable render of one view. Static: width/height/sh_degree.
