@@ -204,3 +204,38 @@ class TestLPIPSExport:
         lv, la = fn(a, b)
         assert abs(lv0) < 1e-6 and abs(la0) < 1e-6
         assert lv > 0 and la > 0 and np.isfinite(lv) and np.isfinite(la)
+
+
+class TestVisualize:
+    def test_pca_weights_trajectory_plys(self, tmp_path):
+        from gaussianprediction_tpu.eval import visualize as V
+        from gaussianprediction_tpu.utils.ply import fetch_point_cloud
+
+        rng = np.random.default_rng(0)
+        xyz = rng.normal(size=(50, 3)).astype(np.float32)
+        feats = rng.normal(size=(50, 8)).astype(np.float32)
+
+        p1 = str(tmp_path / "pca.ply")
+        rgb = V.pca_vis(xyz, feats, p1)
+        assert rgb.shape == (50, 3) and rgb.min() >= 0 and rgb.max() <= 1
+        pts, cols, _ = fetch_point_cloud(p1)
+        assert pts.shape == (50, 3)
+        np.testing.assert_allclose(pts, xyz, atol=1e-6)
+
+        p2 = str(tmp_path / "feat.ply")
+        V.feature_vis(xyz, feats, p2)
+        assert fetch_point_cloud(p2)[0].shape == (50, 3)
+
+        nn_idx = rng.integers(0, 4, (50, 3)).astype(np.int32)
+        w = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+        p3 = str(tmp_path / "w.ply")
+        V.weights_vis(xyz, w, nn_idx, kpt_index=2, output_path=p3)
+        assert fetch_point_cloud(p3)[0].shape == (50, 3)
+
+        traj = rng.normal(size=(6, 5, 3)).astype(np.float32)
+        p4 = str(tmp_path / "traj.ply")
+        V.trajectory_vis(traj, p4)
+        pts, cols, _ = fetch_point_cloud(p4)
+        assert pts.shape == (6 * 5 + 10, 3)
+        # endpoint markers are black
+        assert np.allclose(cols[-10:], 0.0, atol=1e-6)
