@@ -125,6 +125,10 @@ class TrainConfig:
     test_iterations: Tuple[int, ...] = (7000, 30000)
     save_iterations: Tuple[int, ...] = (7000, 30000)
     checkpoint_iterations: Tuple[int, ...] = ()
+    # jax.profiler trace window (SURVEY §5.1): trace profile_steps device
+    # steps starting at iteration profile_from into <model_path>/profile
+    profile_from: int = 20
+    profile_steps: int = 0
 
 
 @dataclasses.dataclass

@@ -382,8 +382,23 @@ class Trainer:
         t0 = time.time()
         iteration = self.iteration
         batch = max(1, cfg.train.batch)
+        # profiling hooks (SURVEY §5.1): trace profile_steps device steps
+        # starting at profile_from into <model_path>/profile — open with
+        # xprof/tensorboard. Device timelines are the ground truth for
+        # kernel cost; wall-clock history.json includes tunnel RTT.
+        prof_from = cfg.train.profile_from
+        prof_n = cfg.train.profile_steps
+        prof_dir = os.path.join(model_path or ".", "profile")
+        profiling = False
         while iteration < iterations:
             a = iteration + 1
+            if prof_n > 0 and not profiling and a >= prof_from:
+                import jax.profiler
+
+                os.makedirs(prof_dir, exist_ok=True)
+                jax.profiler.start_trace(prof_dir)
+                profiling = True
+                prof_end = a + prof_n - 1
             if batch > 1:
                 b = self._chunk_end(a, iterations, span=batch)
                 if b - a + 1 == batch:
@@ -407,6 +422,17 @@ class Trainer:
                 metrics = self.train_one(a)
                 iteration = a
             self.iteration = iteration
+            if profiling and iteration >= prof_end:
+                import jax.profiler
+
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), self.state.params
+                )
+                jax.profiler.stop_trace()
+                profiling = False
+                prof_n = 0
+                if not self.quiet:
+                    print(f"[iter {iteration}] profile trace -> {prof_dir}")
             if iteration - getattr(self, "_last_log", 0) >= self.log_every:
                 self._last_log = iteration
                 loss = float(metrics["loss"])

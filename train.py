@@ -53,6 +53,11 @@ def build_parser():
     p.add_argument("--test_iterations", nargs="+", type=int, default=None)
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 enables the sharded multi-chip train path")
+    p.add_argument("--profile_steps", type=int, default=None,
+                   help="trace this many steps with jax.profiler into "
+                        "<model_path>/profile")
+    p.add_argument("--profile_from", type=int, default=None,
+                   help="first iteration of the profiler trace window")
     return p
 
 
@@ -79,7 +84,7 @@ def resolve_config(args):
                   "jointly_iteration", "adaptive_from_iter",
                   "adaptive_interval", "seed", "save_iterations",
                   "checkpoint_iterations", "test_iterations",
-                  "use_time_decay"]
+                  "use_time_decay", "profile_steps", "profile_from"]
     for name in over_model:
         v = getattr(args, name)
         if v is not None:
@@ -108,10 +113,14 @@ def _maybe_force_cpu():
 
 def main():
     _maybe_force_cpu()
+    from gaussianprediction_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
     from gaussianprediction_tpu.utils.compile_cache import (
         enable_compilation_cache,
     )
 
+    maybe_initialize_distributed()
     enable_compilation_cache()
     args = build_parser().parse_args()
     cfg = resolve_config(args)
