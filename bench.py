@@ -73,6 +73,7 @@ def main():
         out = R.render(
             xyz, scal, rot, op, shs, cam, W, H, jnp.zeros(3), sh_degree=3,
             capacity_multiplier=10, interpret=interpret,
+            need_tidx=False,  # training-path render: tidx is eval-only
         )
         return jnp.mean(jnp.abs(out["render"] - 0.5)), out["n_dropped"]
 

@@ -120,8 +120,16 @@ def synthetic_scene_info(
     init_pts = g["xyz"] + rng.normal(0, 0.05, g["xyz"].shape).astype(
         np.float32
     )
+    # interleave test views within the orbit/time range (the reference
+    # datasets' eval protocol is interpolation, not extrapolation:
+    # D-NeRF's test frames sit inside the training trajectory)
+    test_idx = set(
+        int(round(x)) for x in np.linspace(1, total - 2, n_test)
+    ) if n_test else set()
+    train_cams = [c for i, c in enumerate(cams) if i not in test_idx]
+    test_cams = [c for i, c in enumerate(cams) if i in test_idx]
     return SceneInfo(
         points=init_pts, colors=g["colors"],
-        train_cameras=cams[:n_cams], test_cameras=cams[n_cams:],
-        render_cameras=cams[n_cams:], total_frame=n_cams,
+        train_cameras=train_cams, test_cameras=test_cams,
+        render_cameras=test_cams, total_frame=len(train_cams),
     )

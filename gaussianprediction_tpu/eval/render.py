@@ -70,6 +70,7 @@ def make_render_fn(state: GaussianState, cfg: Config, iteration: int,
         pkg, _ = render_at_time(
             state.params, cfg, state, cam, t, jnp.int32(iteration), key,
             stage, width, height, bg, sh_degree, interpret=interpret,
+            need_tidx=True,  # eval consumes per-pixel argmax ids (eval.py:39-46)
         )
         return pkg["render"], pkg["depth"], pkg["tidx"]
 

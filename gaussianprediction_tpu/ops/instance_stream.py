@@ -207,23 +207,22 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     d_key = jnp.where(d_active, d_tile, sentinel)
     d_inst = jnp.zeros((TC, 11), jnp.float32).at[:, 10].set(-1.0)
 
-    # 6. stable sort by tile id CARRYING the channels as sort values, split
-    # into two <=8-value sorts: random row gathers of [2.3M, 16] cost ~74 ms
-    # on this TPU while an 8-value sort runs ~8 ms — but sorts with >~10
-    # operands compile for minutes, hence the pairing. Both sorts are stable
-    # on identical keys, so their permutations are identical.
+    # 6. ONE stable sort by tile id CARRYING all 11 channels as sort values:
+    # random row gathers of [2.3M, 16] cost ~74 ms on this TPU while value-
+    # carrying sorts are nearly flat in operand count (12-operand sort
+    # 8.6 ms at 3.3M, exp/exp_bigsort.py) — round 1 paired two <=9-operand
+    # sorts out of compile-time caution; the fused sort saves ~8 ms/call.
     all_key = jnp.concatenate([key, d_key])
     all_inst = jnp.concatenate([inst_real, d_inst], axis=0)
     Pp = capacity + TC
     chans = tuple(all_inst[:, c] for c in range(11))
-    s1 = jax.lax.sort((all_key,) + chans[:8], num_keys=1, is_stable=True)
-    s2 = jax.lax.sort((all_key,) + chans[8:], num_keys=1, is_stable=True)
-    gid_sorted = s2[-1]
+    s = jax.lax.sort((all_key,) + chans, num_keys=1, is_stable=True)
+    gid_sorted = s[-1]
     validch = (gid_sorted >= 0.0).astype(jnp.float32)
     inst = jnp.stack(
-        s1[1:] + s2[1:] + (validch, jnp.zeros_like(validch),
-                           jnp.zeros_like(validch), jnp.zeros_like(validch),
-                           jnp.zeros_like(validch)),
+        s[1:] + (validch, jnp.zeros_like(validch),
+                 jnp.zeros_like(validch), jnp.zeros_like(validch),
+                 jnp.zeros_like(validch)),
         axis=0,
     )  # [16, P+TC] SoA — the orientation the Pallas kernels DMA directly
 
@@ -260,12 +259,12 @@ def build_instances_bwd(residuals, d_inst):
     Pp = gid_f.shape[0]
     gid = gid_f.astype(jnp.int32)                 # -1 for dummies/invalid
 
-    # sort cotangents by gaussian id, carried as sort values (see the fwd
-    # note: value-carrying <=8-operand sorts beat random row gathers ~9x)
+    # ONE sort of the cotangents by gaussian id, carried as sort values
+    # (value-carrying sorts beat random row gathers ~9x and are nearly flat
+    # in operand count — see the fwd note / exp_bigsort.py)
     dch = tuple(d_inst[c] for c in range(10))
-    b1 = jax.lax.sort((gid,) + dch[:8], num_keys=1, is_stable=True)
-    b2 = jax.lax.sort((gid,) + dch[8:], num_keys=1, is_stable=True)
-    dsort = jnp.stack(b1[1:] + b2[1:], axis=1)    # [Pp, 10] sorted by gid
+    b = jax.lax.sort((gid,) + dch, num_keys=1, is_stable=True)
+    dsort = jnp.stack(b[1:], axis=1)              # [Pp, 10] sorted by gid
 
     # per-ID KEPT instance counts: inverse-permute depth-order counts
     # (kept = post-drop; matches the gid>=0 population of the sorted array)

@@ -54,6 +54,7 @@ def render(
     tile_band=None,
     fast_binning: bool = True,
     max_tiles: int = 1024,
+    need_tidx: bool = True,
     cov3d_precomp=None,    # [N, 6] packed covariance, bypasses scale/rot
 ):
     """Differentiable render of one view. Static: width/height/sh_degree.
@@ -185,8 +186,10 @@ def render(
         tile_start = jax.lax.stop_gradient(bins.tile_start)
         tile_end = jax.lax.stop_gradient(bins.tile_end)
         n_dropped = bins.n_dropped
+    # need_tidx=False skips the per-chunk argmax-gaussian tracking in the
+    # forward kernel — tidx is an eval-only output (train never reads it)
     out_f = rp.rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y,
-                                interpret)
+                                interpret, need_tidx)
 
     crop_h = height if tile_band is None else band_height
     img = _assemble(out_f, grid_x, grid_y, crop_h, width)  # [crop_h, W, 8]

@@ -155,7 +155,7 @@ def _pixel_coords(tile_idx, grid_x):
 
 
 def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
-                *, grid_x):
+                *, grid_x, with_tidx: bool = True):
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
@@ -194,15 +194,16 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
             w, rgbz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                       # [PIX, 4]
-        wm_chunk = jnp.max(w, axis=1, keepdims=True)
-        gid = data[C_GID:C_GID + 1, :]
-        sel_gid = jnp.max(
-            jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=1,
-            keepdims=True,
-        )
-        better = wm_chunk > wmax
-        wmax = jnp.where(better, wm_chunk, wmax)
-        bgid = jnp.where(better, sel_gid, bgid)
+        if with_tidx:  # training never reads tidx (eval-only output)
+            wm_chunk = jnp.max(w, axis=1, keepdims=True)
+            gid = data[C_GID:C_GID + 1, :]
+            sel_gid = jnp.max(
+                jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=1,
+                keepdims=True,
+            )
+            better = wm_chunk > wmax
+            wmax = jnp.where(better, wm_chunk, wmax)
+            bgid = jnp.where(better, sel_gid, bgid)
         return c + 1, q["T_out"], q["done_out"], acc, wmax, bgid
 
     init = (
@@ -386,9 +387,9 @@ def _pad_inst_T(instT):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def rasterize_binned(instT, tile_start, tile_end, grid_x, grid_y,
-                     interpret=None):
+                     interpret=None, with_tidx: bool = True):
     """Blend packed instances into per-tile buffers.
 
     instT: [16, P] float32 packed instance SoA (rows = channel constants;
@@ -399,10 +400,11 @@ def rasterize_binned(instT, tile_start, tile_end, grid_x, grid_y,
     w_max, best_gid, pad).
     """
     return _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
-                               interpret)
+                               interpret, with_tidx)
 
 
-def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y, interpret):
+def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
+                        interpret, with_tidx=True):
     if interpret is None:
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
@@ -420,7 +422,7 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y, interpret):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_x=grid_x),
+        functools.partial(_fwd_kernel, grid_x=grid_x, with_tidx=with_tidx),
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -428,13 +430,13 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y, interpret):
 
 
 def _rasterize_fwd_rule(instT, tile_start, tile_end, grid_x, grid_y,
-                        interpret):
+                        interpret, with_tidx):
     out = _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
-                              interpret)
+                              interpret, with_tidx)
     return out, (instT, tile_start, tile_end, out)
 
 
-def _rasterize_bwd_rule(grid_x, grid_y, interpret, res, g):
+def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
     instT0, tile_start, tile_end, out = res
     if interpret is None:
         interpret = _interpret_default()

@@ -66,7 +66,7 @@ def make_sharded_train_step(
             cam, width, height, bg, sh_degree=sh_degree, alive=state.alive,
             means2d_dummy=dummy, interpret=interpret,
             capacity_multiplier=capacity_multiplier,
-            tile_band=(ty0, band),
+            tile_band=(ty0, band), need_tidx=False,
         )
         band_img = pkg["render"]                        # [band*16, W, 3]
         full = jax.lax.all_gather(band_img, "tile", axis=0, tiled=True)

@@ -66,14 +66,19 @@ def time_with_noise(cfg: Config, t, iteration, key, stage: int, total_frame):
 def render_at_time(params, cfg: Config, state: GaussianState, cam, t,
                    iteration, key, stage: int, width: int, height: int,
                    bg, sh_degree: int, means2d_dummy=None,
-                   interpret=None):
-    """Deform + render; the single entry used by train/eval/bench."""
+                   interpret=None, need_tidx: bool = False):
+    """Deform + render; the single entry used by train/eval/bench.
+
+    need_tidx defaults False (training never reads the per-pixel argmax
+    Gaussian id, and skipping it removes that tracking from the forward
+    kernel); eval callers that consume pkg["tidx"] pass True."""
     out = deform_for_stage(params, cfg, state, t, iteration, key, stage)
     pkg = rasterize.render(
         out.xyz, out.scaling, out.rotation, out.opacity, get_shs(params),
         cam, width, height, bg, sh_degree=sh_degree, alive=state.alive,
         means2d_dummy=means2d_dummy, interpret=interpret,
         capacity_multiplier=cfg.model.capacity_multiplier,
+        need_tidx=need_tidx,
     )
     return pkg, out
 

@@ -1,5 +1,7 @@
 """Training-layer tests: Adam parity with torch, densify invariants, and the
 end-to-end slice — fitting a synthetic scene (SURVEY.md §4d)."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -477,3 +479,56 @@ class TestTeacherGuidedGrowth:
         assert int(tr.state.n_kpts()) > k_start
         # residual stats were consumed and reset
         assert float(jnp.max(tr.state.xyz_motion_accum_max)) >= 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("GPT_RUN_SLOW", "0") != "1",
+    reason="deep convergence test (~10 min CPU); set GPT_RUN_SLOW=1",
+)
+class TestDeepConvergence:
+    def test_three_stage_convergence(self):
+        """Deep synthetic convergence (VERDICT r1 next #9): a 24-view
+        dynamic swirl scene trained 2400 iterations through all three
+        stage transitions. Empirical envelope from exp/exp_converge.py:
+        stage-1 end (iter 1200) train ~21.7 dB; the stage-2 keypoint
+        distillation dips ~2.3 dB then recovers to ~21.4/19.7
+        (train/test) by 2400. Thresholds sit ~1 dB under that envelope
+        to catch optimizer/deform regressions without flaking."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        iters = 2400
+        cfg = small_cfg()
+        cfg.train.jointly_iteration = 150
+        cfg.train.second_stage_iteration = 1200
+        cfg.train.third_stage_iteration = 1800
+        cfg.train.adaptive_from_iter = 100
+        cfg.train.adaptive_end_iter = 500
+        cfg.train.adaptive_interval = 100
+        cfg.train.time_noise_iteration = 600
+        cfg.train.xyz_noise_iteration = 600
+        cfg.opt.iterations = iters
+        cfg.opt.position_lr_max_steps = iters
+        cfg.opt.densify_from_iter = 200
+        cfg.opt.densify_until_iter = 1000
+        cfg.opt.densification_interval = 100
+        cfg.opt.opacity_reset_interval = 10 ** 6
+        cfg.train.test_iterations = (1200, 1400, iters)
+
+        info = synthetic_scene_info(
+            n_points=256, n_cams=24, n_test=3, width=64, height=64,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True,
+                     log_every=400)
+        tr.run(iterations=iters, model_path=None)
+        evals = {e["eval"]["iter"]: e["eval"]
+                 for e in tr._history if "eval" in e}
+        # stage 1 learned the scene
+        assert evals[1200]["train_psnr"] > 20.0, evals[1200]
+        # stage 2/3 recovered from the keypoint-distillation transition
+        assert evals[iters]["train_psnr"] > 20.0, evals[iters]
+        assert evals[iters]["test_psnr"] > 18.5, evals[iters]
+        assert evals[iters]["test_psnr"] > evals[1400]["test_psnr"], (
+            "no recovery after the stage-2 transition"
+        )
