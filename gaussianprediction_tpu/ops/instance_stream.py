@@ -7,13 +7,13 @@ in the render path. Motivation (measured on TPU v5e, 200k Gaussians /
 monotone row-gathers are a few ms. So the whole binning+packing pipeline is
 re-expressed around one value-carrying sort:
 
-1. depth-sort the per-Gaussian channel matrix (one lax.sort, all 16 packed
-   channels + rect info carried as values);
+1. ONE value-carrying lax.sort depth-orders the per-Gaussian channels AND
+   compacts zero-count Gaussians to the tail (2 keys, 14 value operands);
 2. rect capping (to <= K tiles, expressible as a sub-rect) and instance
    counts/offsets by cumsum;
-3. compaction to the capacity-P instance list via the CUMSUM-INVERSE map
-   (one tiny scatter-add of N ones + a cumsum gives slot->gaussian), then
-   ONE monotone row-gather of the channel matrix;
+3. slot->Gaussian expansion + per-slot tile keys via the Pallas one-hot-
+   matmul kernel (ops/expand_pallas.py) — no scatter, no gather; emits the
+   [16, P] channel-major SoA directly;
 4. per-tile counts via the 2D CORNER-DIFFERENCE histogram (4 scatter-adds
    of N ones into the (gy+1, gx+1) grid + 2D cumsum) -> exact padded
    per-tile segment starts with NO searchsorted/segment_sum;
@@ -21,7 +21,8 @@ re-expressed around one value-carrying sort:
    rows keyed by the tile id are appended after the reals, so the single
    stable sort by tile id lands every tile's segment at its padded start —
    no re-layout pass at all;
-6. one stable lax.sort by tile id carrying all 16 channels.
+6. one stable lax.sort by tile id carrying all 11 live channels
+   (contiguous rows of the kernel's SoA output).
 
 The custom VJP avoids the 65 ms scatter-add that plain AD of a packing
 gather would emit: gradients are reduced per-Gaussian by sorting the
@@ -42,6 +43,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gaussianprediction_tpu.ops import expand_pallas
 from gaussianprediction_tpu.ops.projection import TILE, Projected
 from gaussianprediction_tpu.ops.rasterize_pallas import CHUNK, NCH
 
@@ -90,10 +92,11 @@ def _capped_rect(tmin, tmax, center_px, max_tiles: int):
 
 def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
                         grid_x: int, grid_y: int, capacity: int,
-                        max_tiles: int):
+                        max_tiles: int, interpret=None):
     """feat: [N, 10] differentiable channels (mx,my,ca,cb,cc,op,r,g,b,z).
 
-    Returns (InstanceStream, residuals for the VJP)."""
+    Returns (InstanceStream, residuals for the VJP). The instance buffer
+    is rounded up to the expand kernel's slot-block size."""
     N = feat.shape[0]
     num_tiles = grid_x * grid_y
     sentinel = jnp.int32(num_tiles)
@@ -108,75 +111,70 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     rw = jnp.where(visible, rw0, 0)
     rh = jnp.where(visible, rh0, 0)
 
-    # 1. depth sort: 2-operand (key, idx) sort + one row gather. NOTE:
-    # variadic lax.sort with >2 operands compile-hangs on this TPU stack
-    # (minutes even at N=200k), so all value movement is via row gathers.
+    # 1. ONE fused value-carrying sort does the depth ordering AND the
+    # zero-count compaction the expand kernel needs (primary key sends
+    # count==0 rows to the tail, secondary key is depth; feat channel 9 IS
+    # the depth, so the key doubles as the carried z channel). Replaces the
+    # round-1 (2-op sort + random [N,14] row gather) — value sorts are
+    # nearly flat in operand count while row gathers cost ~6 ms at 200k.
     gidx = jnp.arange(N, dtype=jnp.int32)
-    _, order = jax.lax.sort((depth, gidx), num_keys=1, is_stable=True)
-    gmat = jnp.concatenate(
-        [
-            feat,
-            x0c[:, None].astype(jnp.float32),
-            y0c[:, None].astype(jnp.float32),
-            rw[:, None].astype(jnp.float32),
-            rh[:, None].astype(jnp.float32),
-        ],
-        axis=1,
-    )  # [N, 14] in original order
-    gmat_s = gmat[order]                         # depth-sorted row gather
-    feat_s = gmat_s[:, :10]
-    tminx_s = gmat_s[:, 10].astype(jnp.int32)
-    tminy_s = gmat_s[:, 11].astype(jnp.int32)
-    rw_s = gmat_s[:, 12].astype(jnp.int32)
-    rh_s = gmat_s[:, 13].astype(jnp.int32)
-    gid_s = order
+    zerokey = (rw * rh == 0).astype(jnp.int32)
+    srt = jax.lax.sort(
+        (zerokey, depth,
+         feat[:, 0], feat[:, 1], feat[:, 2], feat[:, 3], feat[:, 4],
+         feat[:, 5], feat[:, 6], feat[:, 7], feat[:, 8],
+         x0c.astype(jnp.float32), y0c.astype(jnp.float32),
+         rw.astype(jnp.float32), rh.astype(jnp.float32), gidx),
+        num_keys=2, is_stable=True,
+    )
+    depth_s = srt[1]
+    x0f, y0f, rwf, rhf = srt[11:15]
+    gid_s = srt[15]
+    rw_s = rwf.astype(jnp.int32)
+    rh_s = rhf.astype(jnp.int32)
 
     count = rw_s * rh_s
     offsets = (jnp.cumsum(count) - count).astype(jnp.int32)
     total = offsets[-1] + count[-1]
 
-    # 3. cumsum-inverse compaction: slot j -> depth-rank g. Zero-count
-    # gaussians must never own slots, so scatter-MAX the (rank+1) of
-    # counting gaussians at their offsets and take the running max.
-    rank1 = jnp.where(count > 0, jnp.arange(N, dtype=jnp.int32) + 1, 0)
-    ind = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
-        rank1, mode="drop"
-    )
-    g_of = _cummax(ind) - 1                       # [P] monotone
-    g_of = jnp.clip(g_of, 0, N - 1)
-
-    # one monotone row-gather of the full channel matrix
+    # 2-3. slot->Gaussian expansion via the Pallas one-hot-matmul kernel
+    # (ops/expand_pallas.py): replaces the round-1 scatter-max + log-cummax
+    # + [P,16] row gather (~21 ms) and emits channel-major SoA directly so
+    # the tile sort's operands below are contiguous row slices.
+    B, W = expand_pallas.BSLOT, expand_pallas.WCAND
+    cap512 = ((capacity + B - 1) // B) * B
+    qmax = max((N - 1) // W, 0)
+    Np = (qmax + 2) * W
+    pad = Np - N
+    offs_row = jnp.concatenate(
+        [offsets, jnp.full((pad,), expand_pallas.HUGE, jnp.int32)]
+    )[None, :]
+    permat = jnp.stack(
+        srt[2:11] + (depth_s, offsets.astype(jnp.float32), x0f, y0f, rwf,
+                     gid_s.astype(jnp.float32), jnp.zeros_like(depth_s)),
+        axis=0,
+    )  # [16, N] channel-major
     permat = jnp.concatenate(
-        [
-            feat_s,
-            offsets.astype(jnp.float32)[:, None],
-            tminx_s.astype(jnp.float32)[:, None],
-            tminy_s.astype(jnp.float32)[:, None],
-            rw_s.astype(jnp.float32)[:, None],
-            gid_s.astype(jnp.float32)[:, None],
-            jnp.zeros((N, 1), jnp.float32),
-        ],
-        axis=1,
-    )  # [N, 16]
-    rows = permat[g_of]                           # [P, 16] monotone gather
-
-    j = jnp.arange(capacity, dtype=jnp.int32)
-    offs = rows[:, 10].astype(jnp.int32)
-    k = j - offs
-    rwj = jnp.maximum(rows[:, 13].astype(jnp.int32), 1)
-    ty = rows[:, 12].astype(jnp.int32) + k // rwj
-    tx = rows[:, 11].astype(jnp.int32) + k % rwj
-    valid = j < jnp.minimum(total, capacity)
-    key = jnp.where(valid, ty * grid_x + tx, sentinel)
-
-    validf = valid.astype(jnp.float32)
-    inst_real = jnp.concatenate(
-        [
-            rows[:, :10] * validf[:, None],
-            jnp.where(valid, rows[:, 14], -1.0)[:, None],  # gid (f32)
-        ],
-        axis=1,
-    )  # [P, 11]: the valid channel is derived post-sort from gid >= 0
+        [permat, jnp.zeros((16, pad), jnp.float32)], axis=1
+    )
+    nb = cap512 // B
+    block_starts = jnp.arange(nb, dtype=jnp.int32) * B
+    g0 = jnp.maximum(
+        jnp.searchsorted(
+            offs_row[0], block_starts, side="right"
+        ).astype(jnp.int32) - 1,
+        0,
+    )
+    starts_q = g0 // W
+    # the buffer is 512-aligned for the kernel's slot blocks, but the DROP
+    # policy honours the requested capacity exactly: slots >= capacity are
+    # invalid (sentinel keys) and sort harmlessly to the tail
+    inst_soa = expand_pallas.expand_rows(
+        permat, offs_row, starts_q,
+        jnp.minimum(total, capacity)[None], cap512, grid_x,
+        int(num_tiles), interpret=interpret,
+    )  # [16, cap512]: feat(10), gid, key, 0,0,0,0
+    key = inst_soa[11].astype(jnp.int32)
 
     # 4. per-tile counts via corner-difference histogram
     gx1, gy1 = grid_x + 1, grid_y + 1
@@ -205,17 +203,19 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     d_rank = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), num_tiles)
     d_active = d_rank < (padded_t - counts_t)[d_tile]
     d_key = jnp.where(d_active, d_tile, sentinel)
-    d_inst = jnp.zeros((TC, 11), jnp.float32).at[:, 10].set(-1.0)
+    d_zero = jnp.zeros((TC,), jnp.float32)
 
     # 6. ONE stable sort by tile id CARRYING all 11 channels as sort values:
     # random row gathers of [2.3M, 16] cost ~74 ms on this TPU while value-
     # carrying sorts are nearly flat in operand count (12-operand sort
     # 8.6 ms at 3.3M, exp/exp_bigsort.py) — round 1 paired two <=9-operand
-    # sorts out of compile-time caution; the fused sort saves ~8 ms/call.
+    # sorts out of compile-time caution. The operands are contiguous row
+    # slices of the kernel's SoA output (no strided column extraction).
     all_key = jnp.concatenate([key, d_key])
-    all_inst = jnp.concatenate([inst_real, d_inst], axis=0)
-    Pp = capacity + TC
-    chans = tuple(all_inst[:, c] for c in range(11))
+    Pp = cap512 + TC
+    chans = tuple(
+        jnp.concatenate([inst_soa[c], d_zero]) for c in range(10)
+    ) + (jnp.concatenate([inst_soa[10], d_zero - 1.0]),)  # dummy gid = -1
     s = jax.lax.sort((all_key,) + chans, num_keys=1, is_stable=True)
     gid_sorted = s[-1]
     validch = (gid_sorted >= 0.0).astype(jnp.float32)
@@ -264,7 +264,6 @@ def build_instances_bwd(residuals, d_inst):
     # in operand count — see the fwd note / exp_bigsort.py)
     dch = tuple(d_inst[c] for c in range(10))
     b = jax.lax.sort((gid,) + dch, num_keys=1, is_stable=True)
-    dsort = jnp.stack(b[1:], axis=1)              # [Pp, 10] sorted by gid
 
     # per-ID KEPT instance counts: inverse-permute depth-order counts
     # (kept = post-drop; matches the gid>=0 population of the sorted array)
@@ -273,34 +272,39 @@ def build_instances_bwd(residuals, d_inst):
     ends = n_neg + jnp.cumsum(counts_id)
     starts = ends - counts_id
 
-    cs = jnp.concatenate(
-        [jnp.zeros((1, 10), jnp.float32), jnp.cumsum(dsort, axis=0)], axis=0
-    )
-    dfeat = cs[ends] - cs[starts]                 # [N, 10] monotone gathers
+    # per-channel contiguous cumsums + monotone boundary gathers: stacking
+    # [Pp, 10] row-major first would turn 10 contiguous streams into one
+    # strided write + a strided axis-0 scan
+    zero1 = jnp.zeros((1,), jnp.float32)
+    cols = []
+    for c in range(10):
+        cs = jnp.concatenate([zero1, jnp.cumsum(b[1 + c])])
+        cols.append(cs[ends] - cs[starts])
+    dfeat = jnp.stack(cols, axis=1)               # [N, 10]
     return (dfeat,)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def build_instances(feat, depth, tiles_min, tiles_max, visible,
-                    grid_x, grid_y, capacity, max_tiles):
+                    grid_x, grid_y, capacity, max_tiles, interpret=None):
     """Differentiable fused pack+bin; gradients flow to `feat` only."""
     stream, _ = build_instances_fwd(
         feat, depth, tiles_min, tiles_max, visible, grid_x, grid_y,
-        capacity, max_tiles,
+        capacity, max_tiles, interpret,
     )
     return stream
 
 
 def _bi_fwd(feat, depth, tiles_min, tiles_max, visible, grid_x, grid_y,
-            capacity, max_tiles):
+            capacity, max_tiles, interpret):
     stream, res = build_instances_fwd(
         feat, depth, tiles_min, tiles_max, visible, grid_x, grid_y,
-        capacity, max_tiles,
+        capacity, max_tiles, interpret,
     )
     return stream, res
 
 
-def _bi_bwd(grid_x, grid_y, capacity, max_tiles, res, g):
+def _bi_bwd(grid_x, grid_y, capacity, max_tiles, interpret, res, g):
     (dfeat,) = build_instances_bwd(res, g.inst)
     return (dfeat, None, None, None, None)
 

@@ -165,6 +165,7 @@ def render(
         stream = instance_stream.build_instances(
             feat, sg(proj.depth), sg(proj.tiles_min), sg(proj.tiles_max),
             sg(proj.visible), grid_x, grid_y, capacity, max_tiles,
+            interpret,
         )
         inst = stream.inst
         tile_start, tile_end = stream.tile_start, stream.tile_end
