@@ -97,6 +97,9 @@ def main():
             trainer.state, cfg, trainer.iteration, scene.render_cameras, bg,
             out_path=os.path.join(out_dir, "renders_video", "video.mp4"),
             interpolation=args.interpolation,
+            # vrig paired-rig captures alternate cameras frame-to-frame:
+            # stride 2 like the reference (eval.py:81)
+            step=2 if "vrig" in (cfg.source_path or "").lower() else 1,
         )
         print("video written")
 

@@ -115,18 +115,23 @@ def render_set(
 def render_video(
     state: GaussianState, cfg: Config, iteration: int, views: List[Camera],
     bg, out_path: Optional[str] = None, interpolation: int = 5,
-    interpret=None, fps: int = 30,
+    interpret=None, fps: int = 30, step: int = 1,
 ):
     """render_video twin (eval.py:75-118): interpolate pose (slerp) and time
-    between consecutive views."""
+    between consecutive views.
+
+    step: stride over the view list before interpolating — the reference
+    uses step=2 for HyperNeRF-vrig captures (eval.py:81 `step = 2 if
+    "vrig" in model_path`) because vrig's paired-rig views alternate
+    cameras frame-to-frame."""
     if len(views) < 2:
         return []
     W, H = views[0].width, views[0].height
     fn = make_render_fn(state, cfg, iteration, W, H, bg,
                         cfg.model.sh_degree, interpret)
     frames = []
-    for idx in range(1, len(views)):
-        prev, view = views[idx - 1], views[idx]
+    for idx in range(step, len(views), step):
+        prev, view = views[idx - step], views[idx]
         interp = interpolate_cameras(prev, view, interpolation)
         for cam in interp:
             rgb, _, _ = fn(cam.to_device_dict(), jnp.float32(cam.time))

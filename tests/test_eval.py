@@ -99,6 +99,20 @@ class TestRenderDrivers:
         assert len(frames) == 2
         assert all(np.isfinite(f).all() for f in frames)
 
+    def test_render_video_vrig_stride(self, trained):
+        """step=2 strides the view list before interpolating (the
+        reference's HyperNeRF-vrig mode, eval.py:81): 4 views at stride 2
+        give one (0,2) pair = `interpolation` frames."""
+        cfg, scene, tr = trained
+        views = (scene.train_cameras * 2)[:4]
+        frames = R.render_video(
+            tr.state, cfg, tr.iteration, views,
+            np.zeros(3, np.float32), interpolation=2, interpret=True,
+            step=2,
+        )
+        assert len(frames) == 2
+        assert all(np.isfinite(f).all() for f in frames)
+
     def test_render_train_sequence(self, trained):
         cfg, scene, tr = trained
         frames = R.render_train_sequence(
