@@ -17,6 +17,7 @@ time, not completion.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -25,7 +26,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_RAYS_PER_S = 30e6
 
 
+def _guard_wedged_tunnel():
+    """A killed TPU process can wedge the axon pool lease, after which
+    every jax.devices() call blocks forever (NOTES.md round-2). Probe
+    device discovery in a subprocess with a timeout; if it hangs, re-exec
+    on pure CPU (skipping plugin registration) so the bench always
+    terminates with a JSON line."""
+    if os.environ.get("GPT_BENCH_NO_PROBE") == "1":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # no tunnel configured; nothing to wedge
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, capture_output=True,
+        )
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPT_BENCH_NO_PROBE"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main():
+    _guard_wedged_tunnel()
     import jax
     import jax.numpy as jnp
     import numpy as np
