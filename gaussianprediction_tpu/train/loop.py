@@ -319,6 +319,7 @@ class Trainer:
             self.state, self.opt_state, cam.to_device_dict(), gt,
             jnp.float32(cam.time), jnp.int32(iteration), k_step,
         )
+        self._last_cam = cam
         self._densification(iteration, stage)
         return metrics
 
@@ -346,6 +347,7 @@ class Trainer:
             self.state, self.opt_state, cam_batch, gts, times,
             jnp.int32(a), k_step,
         )
+        self._last_cam = cams[-1]
         self._densification(b, stage)
         return metrics
 
@@ -371,6 +373,7 @@ class Trainer:
             self.state, self.opt_state, cam_batch, gts, times,
             jnp.int32(a), k_step,
         )
+        self._last_cam = cams[-1]
         self._densification(b, stage)
         return metrics
 
@@ -460,6 +463,8 @@ class Trainer:
                     )
             if iteration in cfg.train.test_iterations:
                 self.training_report(iteration)
+            if model_path and iteration % 5000 == 0:
+                self._save_train_images(model_path, iteration)
             if model_path:
                 if iteration in cfg.train.save_iterations:
                     G.save_ply(
@@ -479,6 +484,46 @@ class Trainer:
             with open(os.path.join(model_path, "history.json"), "w") as f:
                 json.dump(self._history, f)
         return self._history
+
+    def _save_train_images(self, model_path: str, iteration: int):
+        """Periodic training-image dump (reference train.py:155-161): render
+        the most recent training camera at the current parameters into
+        <model_path>/train_imgs/ next to its GT. Rendering at the max SH
+        degree is exact: inactive coefficients stay at their zero init
+        (their gradients are zero until activation)."""
+        cam = getattr(self, "_last_cam", None)
+        if cam is None:
+            return
+        from gaussianprediction_tpu.eval.render import save_image
+        from gaussianprediction_tpu.train.step import render_at_time
+
+        stage = stage_of(self.cfg, iteration)
+        key = ("dbg_render", stage)
+        if key not in self._steps:
+            def dbg(params, state, cam_d, t, it):
+                pkg, _ = render_at_time(
+                    params, self.cfg, state, cam_d, t, it,
+                    jax.random.PRNGKey(0), stage, self.width, self.height,
+                    jnp.asarray(self.bg), self.cfg.model.sh_degree,
+                    interpret=self.interpret,
+                )
+                return jnp.clip(pkg["render"], 0.0, 1.0)
+
+            self._steps[key] = jax.jit(dbg)
+        img = self._steps[key](
+            self.state.params, self.state, cam.to_device_dict(),
+            jnp.float32(cam.time), jnp.int32(iteration),
+        )
+        d = os.path.join(model_path, "train_imgs")
+        os.makedirs(d, exist_ok=True)
+        save_image(
+            os.path.join(d, f"render_{iteration:05d}.png"), np.asarray(img)
+        )
+        gt = cam.load_image()
+        if gt is not None:
+            save_image(
+                os.path.join(d, f"gt_{iteration:05d}.png"), np.asarray(gt)
+            )
 
     def save_checkpoint(self, path: str):
         ckpt.save_checkpoint(
