@@ -129,12 +129,17 @@ class Trainer:
         )
 
     # ---- jitted-step cache ------------------------------------------------
+    # Steps compile ONCE per stage at the static max SH degree; the warm-up
+    # degree is a traced int32 that zero-masks inactive coefficients inside
+    # the step (same images to <= 1 ulp and the same Adam trajectory, see
+    # render_at_time). This cuts the per-run compile count 4x vs keying on
+    # (stage, active_sh_degree) at ~190 s per TPU step variant.
     def _step_fn(self, stage: int):
-        key = (stage, self.active_sh_degree)
+        key = (stage,)
         if key not in self._steps:
             self._steps[key] = make_train_step(
                 self.cfg, stage, self.width, self.height,
-                float(self.scene.cameras_extent), self.active_sh_degree,
+                float(self.scene.cameras_extent), self.cfg.model.sh_degree,
                 self.scene.total_frame, self.bg, interpret=self.interpret,
             )[0]
         return self._steps[key]
@@ -142,11 +147,11 @@ class Trainer:
     def _batched_step_fn(self, stage: int, b: int):
         from gaussianprediction_tpu.train.step import make_train_step_batched
 
-        key = ("batch", stage, self.active_sh_degree, b)
+        key = ("batch", stage, b)
         if key not in self._steps:
             self._steps[key] = make_train_step_batched(
                 self.cfg, stage, self.width, self.height,
-                float(self.scene.cameras_extent), self.active_sh_degree,
+                float(self.scene.cameras_extent), self.cfg.model.sh_degree,
                 self.scene.total_frame, self.bg, b,
                 interpret=self.interpret,
             )
@@ -155,11 +160,11 @@ class Trainer:
     def _multi_step_fn(self, stage: int, k: int):
         from gaussianprediction_tpu.train.step import make_train_step_multi
 
-        key = ("multi", stage, self.active_sh_degree, k)
+        key = ("multi", stage, k)
         if key not in self._steps:
             self._steps[key] = make_train_step_multi(
                 self.cfg, stage, self.width, self.height,
-                float(self.scene.cameras_extent), self.active_sh_degree,
+                float(self.scene.cameras_extent), self.cfg.model.sh_degree,
                 self.scene.total_frame, self.bg, k,
                 interpret=self.interpret,
             )
@@ -318,6 +323,7 @@ class Trainer:
         self.state, self.opt_state, metrics = step(
             self.state, self.opt_state, cam.to_device_dict(), gt,
             jnp.float32(cam.time), jnp.int32(iteration), k_step,
+            jnp.int32(self.active_sh_degree),
         )
         self._last_cam = cam
         self._densification(iteration, stage)
@@ -345,7 +351,7 @@ class Trainer:
         step = self._batched_step_fn(stage, k)
         self.state, self.opt_state, metrics = step(
             self.state, self.opt_state, cam_batch, gts, times,
-            jnp.int32(a), k_step,
+            jnp.int32(a), k_step, jnp.int32(self.active_sh_degree),
         )
         self._last_cam = cams[-1]
         self._densification(b, stage)
@@ -371,7 +377,7 @@ class Trainer:
         step = self._multi_step_fn(stage, k)
         self.state, self.opt_state, metrics = step(
             self.state, self.opt_state, cam_batch, gts, times,
-            jnp.int32(a), k_step,
+            jnp.int32(a), k_step, jnp.int32(self.active_sh_degree),
         )
         self._last_cam = cams[-1]
         self._densification(b, stage)

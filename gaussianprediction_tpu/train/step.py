@@ -66,15 +66,31 @@ def time_with_noise(cfg: Config, t, iteration, key, stage: int, total_frame):
 def render_at_time(params, cfg: Config, state: GaussianState, cam, t,
                    iteration, key, stage: int, width: int, height: int,
                    bg, sh_degree: int, means2d_dummy=None,
-                   interpret=None, need_tidx: bool = False):
+                   interpret=None, need_tidx: bool = False,
+                   active_sh_degree=None):
     """Deform + render; the single entry used by train/eval/bench.
 
     need_tidx defaults False (training never reads the per-pixel argmax
     Gaussian id, and skipping it removes that tracking from the forward
-    kernel); eval callers that consume pkg["tidx"] pass True."""
+    kernel); eval callers that consume pkg["tidx"] pass True.
+
+    active_sh_degree (traced int32, optional): when set, the SH warm-up is
+    applied by ZEROING coefficients beyond (deg+1)^2 under the STATIC
+    max-degree basis instead of shrinking the basis — the same image up to
+    summation associativity (<= 1 ulp: the zeroed terms contribute exact
+    zeros, but the full-basis einsum may reassociate) and the same
+    training trajectory (inactive coefficients get zero grads, keeping
+    their Adam moments zero), with ONE compiled step per stage instead of
+    one per (stage, degree)."""
     out = deform_for_stage(params, cfg, state, t, iteration, key, stage)
+    shs = get_shs(params)          # [C, 3, K] — coefficient axis LAST
+    if active_sh_degree is not None:
+        kidx = jnp.arange(shs.shape[-1])
+        shs = jnp.where(
+            kidx[None, None, :] < (active_sh_degree + 1) ** 2, shs, 0.0
+        )
     pkg = rasterize.render(
-        out.xyz, out.scaling, out.rotation, out.opacity, get_shs(params),
+        out.xyz, out.scaling, out.rotation, out.opacity, shs,
         cam, width, height, bg, sh_degree=sh_degree, alive=state.alive,
         means2d_dummy=means2d_dummy, interpret=interpret,
         capacity_multiplier=cfg.model.capacity_multiplier,
@@ -89,11 +105,12 @@ def make_train_step(cfg: Config, stage: int, width: int, height: int,
     """Build the jitted step for one stage at one active SH degree."""
     bg = jnp.asarray(bg, jnp.float32)
 
-    def loss_fn(params, means2d_dummy, state, cam, gt, t, iteration, key):
+    def loss_fn(params, means2d_dummy, state, cam, gt, t, iteration, key,
+                active_deg=None):
         pkg, dout = render_at_time(
             params, cfg, state, cam, t, iteration, key, stage, width,
             height, bg, sh_degree, means2d_dummy=means2d_dummy,
-            interpret=interpret,
+            interpret=interpret, active_sh_degree=active_deg,
         )
         img = pkg["render"]
         loss = dssim_l1_loss(img, gt, cfg.opt.lambda_dssim)
@@ -112,13 +129,15 @@ def make_train_step(cfg: Config, stage: int, width: int, height: int,
         }
         return loss, aux
 
-    def step(state: GaussianState, opt_state, cam, gt, t, iteration, key):
+    def step(state: GaussianState, opt_state, cam, gt, t, iteration, key,
+             active_deg=None):
         k_noise, k_time = jax.random.split(key)
         t = time_with_noise(cfg, t, iteration, k_time, stage, total_frame)
         dummy = jnp.zeros((state.capacity, 2), jnp.float32)
         (loss, aux), (grads, vs_grads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, dummy, state, cam, gt, t, iteration, k_noise)
+        )(state.params, dummy, state, cam, gt, t, iteration, k_noise,
+          active_deg)
 
         # densification statistics (train.py:163-192)
         vis = aux["visibility"]
@@ -202,7 +221,7 @@ def make_train_step_batched(cfg: Config, stage: int, width: int, height: int,
     )
 
     def step(state: GaussianState, opt_state, cams, gts, times, iteration0,
-             key):
+             key, active_deg=None):
         keys = jax.random.split(key, 2 * batch).reshape(batch, 2, -1)
         dummy = jnp.zeros((state.capacity, 2), jnp.float32)
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
@@ -214,7 +233,8 @@ def make_train_step_batched(cfg: Config, stage: int, width: int, height: int,
             t = time_with_noise(cfg, t, it, ks[1], stage, total_frame)
             (loss, aux), (g, vsg) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
-            )(state.params, dummy, state, cam, gt, t, it, ks[0])
+            )(state.params, dummy, state, cam, gt, t, it, ks[0],
+              active_deg)
             carry = (
                 jax.tree.map(jnp.add, grads_acc, g),
                 vsg_acc + vsg,
@@ -318,14 +338,15 @@ def make_train_step_multi(cfg: Config, stage: int, width: int, height: int,
         bg, interpret=interpret,
     )
 
-    def multi(state, opt_state, cams, gts, times, iteration0, key):
+    def multi(state, opt_state, cams, gts, times, iteration0, key,
+              active_deg=None):
         keys = jax.random.split(key, k_steps)
 
         def body(carry, xs):
             state, opt_state = carry
             cam, gt, t, i, k = xs
             state, opt_state, metrics = inner(
-                state, opt_state, cam, gt, t, iteration0 + i, k
+                state, opt_state, cam, gt, t, iteration0 + i, k, active_deg
             )
             return (state, opt_state), metrics
 

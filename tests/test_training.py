@@ -343,6 +343,67 @@ class TestStageAwareResume:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestTracedSHDegree:
+    def test_masked_degree_equals_static_degree(self):
+        """The traced SH warm-up (zero-mask under the max-degree basis)
+        must reproduce the static-degree step to float associativity:
+        the zeroed terms contribute exact zeros, the full-basis einsum may
+        reassociate by <= 1 ulp."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+        from gaussianprediction_tpu.train.step import make_train_step
+
+        cfg = small_cfg()
+        info = synthetic_scene_info(
+            n_points=48, n_cams=3, n_test=0, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        scene = Scene(info)
+        tr = Trainer(cfg, scene, interpret=True, quiet=True)
+        extent = float(scene.cameras_extent)
+        cam = scene.train_cameras[0]
+        gt = jnp.asarray(cam.load_image())
+        key = jax.random.PRNGKey(3)
+        # give the rest coefficients non-zero values so masking matters
+        p = dict(tr.state.params)
+        p["features_rest"] = p["features_rest"] + 0.3
+        state = tr.state.replace(params=p)
+
+        for active in (0, 1):
+            _, step_static, _ = make_train_step(
+                cfg, 1, 32, 32, extent, active, scene.total_frame,
+                np.zeros(3, np.float32), interpret=True,
+            )
+            s_ref, _, m_ref = step_static(
+                state, tr.opt_state, cam.to_device_dict(), gt,
+                jnp.float32(cam.time), jnp.int32(40), key,
+            )
+            _, step_masked, _ = make_train_step(
+                cfg, 1, 32, 32, extent, cfg.model.sh_degree,
+                scene.total_frame, np.zeros(3, np.float32), interpret=True,
+            )
+            s_m, _, m_m = step_masked(
+                state, tr.opt_state, cam.to_device_dict(), gt,
+                jnp.float32(cam.time), jnp.int32(40), key,
+                jnp.int32(active),
+            )
+            np.testing.assert_allclose(
+                float(m_ref["loss"]), float(m_m["loss"]), rtol=1e-6,
+                err_msg=f"deg={active}",
+            )
+            for k in ("xyz", "features_dc", "features_rest", "opacity"):
+                np.testing.assert_allclose(
+                    np.asarray(s_ref.params[k]), np.asarray(s_m.params[k]),
+                    atol=2e-6, err_msg=f"deg={active} param={k}",
+                )
+            # inactive coefficients received no update at all
+            ksz = (active + 1) ** 2 - 1
+            np.testing.assert_array_equal(
+                np.asarray(s_m.params["features_rest"][:, ksz:]),
+                np.asarray(state.params["features_rest"][:, ksz:]),
+                err_msg=f"deg={active} inactive rest coeffs moved",
+            )
+
+
 class TestBatchAccumulation:
     def test_batched_step_equals_summed_grads(self):
         """--batch semantics (reference train.py:112-133): one batched step
