@@ -69,6 +69,18 @@ def _interpret_default() -> bool:
     return platform not in ("tpu", "axon")
 
 
+def _bwd_precision():
+    """Backward-kernel matmul precision (v / moment dots). HIGHEST (6
+    bf16 passes) measured 3e-4 relative gradient error better than
+    DEFAULT on v5e; GPT_BWD_PRECISION=high trades ~half the matmul passes
+    for ~1e-5-class error (A/B via exp/, not yet the default)."""
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[os.environ.get("GPT_BWD_PRECISION", "highest").lower()]
+
+
 def _shift_right(x, s, fill):
     """Shift along the lane axis (axis 1): out[:, i] = x[:, i-s]."""
     return jnp.concatenate(
@@ -302,7 +314,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         v = jax.lax.dot_general(
             d_rgbz, rgbz, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_bwd_precision(),
         )
         wv = w * v
         S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
@@ -320,7 +332,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         mm = jax.lax.dot_general(
             mon, dpower, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_bwd_precision(),
         )                                      # [8, CHUNK]
         s0 = mm[0:1, :]
         sx, sy = mm[1:2, :], mm[2:3, :]
