@@ -65,7 +65,7 @@ def main():
     specs, total = HG.hashgrid_specs(tables, 16, 2048)
     xyz = jax.random.uniform(key, (N, 3), jnp.float32, -1.5, 1.5)
     flat = HG._flat_tables(tables)
-    keys, w = HG.hashgrid_keys_weights(xyz, specs, 1.6)   # [N, L, 8]
+    keys, w = HG.hashgrid_keys_weights(xyz, specs, 1.6)   # [L, N, 8]
 
     def enc(x):
         return jnp.sum(HG.hashgrid_encode_fast(tables, x)[::31])
@@ -82,7 +82,7 @@ def main():
     timed("C. sorted-key gather 25.6M x4", chain(gath), keys_srt)
 
     # per-level local keys [L, N*8]
-    kloc = jnp.swapaxes(keys, 0, 1).reshape(L, N * C)
+    kloc = keys.reshape(L, N * C)
     pos = jnp.broadcast_to(
         jnp.arange(N * C, dtype=jnp.int32)[None, :], (L, N * C)
     )

@@ -106,9 +106,14 @@ def hashgrid_specs(tables: dict, n_min: int, max_res: int):
 def hashgrid_keys_weights(xyz, specs, bound: float):
     """Global corner slot ids + trilinear weights for every (level, corner).
 
-    Returns keys [N, L, 8] int32 (offset into the concatenated tables) and
-    w [N, L, 8] float32. Pure elementwise/VPU work — recomputed in the
-    backward instead of being saved (25.6M ints+floats ≈ 200 MB HBM).
+    Returns keys [L, N, 8] int32 (offset into the concatenated tables) and
+    w [L, N, 8] float32 — LEVEL-MAJOR, so per-level rows are contiguous:
+    the VJP sorts each level's 8N contributions independently in ONE
+    batched lax.sort (dimension=1), and because the concatenated tables
+    are ascending contiguous level ranges, flattening the per-level-sorted
+    rows in level order is already globally slot-sorted. Pure
+    elementwise/VPU work — recomputed in the backward instead of being
+    saved (25.6M ints+floats ≈ 200 MB HBM).
     """
     x = jnp.clip((xyz + bound) / (2.0 * bound), 0.0, 1.0)
     corners = jnp.asarray(
@@ -129,7 +134,7 @@ def hashgrid_keys_weights(xyz, specs, bound: float):
         )                                                 # [N, 8]
         keys.append(idx + off)
         ws.append(w)
-    return jnp.stack(keys, axis=1), jnp.stack(ws, axis=1)
+    return jnp.stack(keys, axis=0), jnp.stack(ws, axis=0)
 
 
 def _flat_tables(tables: dict):
@@ -139,11 +144,11 @@ def _flat_tables(tables: dict):
 
 
 def _encode_from_flat(flat, keys, w):
-    """[S, F] flat tables, [N, L, 8] keys/weights -> [N, L*F] features."""
-    n, L, _ = keys.shape
-    g = flat[keys.reshape(-1)].reshape(n, L, 8, -1)       # one big gather
-    feat = jnp.sum(w[..., None] * g, axis=2)              # [N, L, F]
-    return feat.reshape(n, -1)
+    """[S, F] flat tables, [L, N, 8] keys/weights -> [N, L*F] features."""
+    L, n, _ = keys.shape
+    g = flat[keys.reshape(-1)].reshape(L, n, 8, -1)       # one big gather
+    feat = jnp.sum(w[..., None] * g, axis=2)              # [L, N, F]
+    return jnp.swapaxes(feat, 0, 1).reshape(n, -1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -191,11 +196,10 @@ def _hef_bwd(bound, n_min, max_res, backend, res, g):
         off += sizes[l][0]
     total = off
 
-    keys, w = hashgrid_keys_weights(xyz, specs, bound)    # [N, L, 8]
+    keys, w = hashgrid_keys_weights(xyz, specs, bound)    # [L, N, 8]
     n = xyz.shape[0]
-    vals = w[..., None] * g.reshape(n, n_levels, 1, F)    # [N, L, 8, F]
-    keys_f = keys.reshape(-1)
-    vals_f = vals.reshape(-1, F)
+    g_l = jnp.moveaxis(g.reshape(n, n_levels, F), 1, 0)   # [L, N, F]
+    vals = w[..., None] * g_l[:, :, None, :]              # [L, N, 8, F]
 
     if backend == "auto":
         dev = jax.config.jax_default_device
@@ -206,13 +210,24 @@ def _hef_bwd(bound, n_min, max_res, backend, res, g):
     if use_pallas:
         from gaussianprediction_tpu.ops import hashgrid_pallas
 
-        ops = (keys_f,) + tuple(vals_f[:, i] for i in range(F))
-        srt = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        # ONE batched per-level sort (dimension=1): each level's 8N
+        # contributions sort independently — sort cost is pass-latency-
+        # bound, so L rows in one op cost ~one row, not L rows — and the
+        # level ranges of the concatenated tables ascend, so flattening
+        # the sorted rows in level order is already globally slot-sorted.
+        kb = keys.reshape(n_levels, n * 8)
+        ops = (kb,) + tuple(
+            vals[..., i].reshape(n_levels, n * 8) for i in range(F)
+        )
+        srt = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=False)
         dflat = hashgrid_pallas.scatter_add_sorted(
-            srt[0], jnp.stack(srt[1:]), total
+            srt[0].reshape(-1),
+            jnp.stack([s.reshape(-1) for s in srt[1:]]), total
         ).T                                               # [S, F]
     else:
-        dflat = jnp.zeros((total, F), jnp.float32).at[keys_f].add(vals_f)
+        dflat = jnp.zeros((total, F), jnp.float32).at[
+            keys.reshape(-1)
+        ].add(vals.reshape(-1, F))
 
     dtables = {}
     for l, (_, size, off_l) in enumerate(specs):
