@@ -75,14 +75,26 @@ def _expand_kernel(q_ref, scal_ref, pm1, pm2, of1, of2, out_ref, *,
     )                                                        # [B, 2W]
     pw = jnp.concatenate([pm1[...], pm2[...]], axis=1)       # [16, 2W]
     # exact expansion at 3 MXU passes instead of 6: the v5e MXU rounds f32
-    # operands to bf16 at DEFAULT, so the VALUES operand gets HIGHEST (an
-    # exact 3-way bf16 split — f32 has 24 mantissa bits = 3x8); the 0/1
-    # one-hot operand is already exact in bf16 and stays DEFAULT.
-    rows = jax.lax.dot_general(
-        pw, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT),
-    )                                                        # [16, B]
+    # operands to bf16 at DEFAULT, so split the VALUES operand into three
+    # exact bf16 terms (f32 has 24 mantissa bits = 3x8; each residual is
+    # exactly representable, the standard bf16x3 f32 emulation) and matmul
+    # each against the 0/1 one-hot — itself exact in bf16. Mosaic rejects
+    # per-operand dot precision (`precision=(HIGHEST, DEFAULT)` fails to
+    # lower), so the split is done by hand; f32 accumulation of the three
+    # selected terms reconstructs the value exactly.
+    oh_bf = oh.astype(jnp.bfloat16)
+    hi = pw.astype(jnp.bfloat16)
+    r1 = pw - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def sel(vals_bf):
+        return jax.lax.dot_general(
+            vals_bf, oh_bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    rows = sel(hi) + sel(mid) + sel(lo)                      # [16, B]
 
     offs_sel = rows[10:11, :]
     tminx = rows[11:12, :]
