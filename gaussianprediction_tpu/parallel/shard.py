@@ -51,6 +51,12 @@ def make_sharded_train_step(
            iteration, key) -> (state', opt_state', metrics)
     """
     bg = jnp.asarray(bg, jnp.float32)
+    if interpret is None:
+        # decide from the MESH devices, not the process default backend:
+        # with the axon TPU plugin registered, a CPU mesh (virtual-device
+        # dryrun) would otherwise pick the Mosaic path and fail to compile
+        platform = mesh.devices.flat[0].platform
+        interpret = platform not in ("tpu", "axon")
     n_tile = mesh.shape["tile"]
     n_data = mesh.shape["data"]
     grid_y = (height + TILE - 1) // TILE
