@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -151,6 +152,42 @@ def _encode_from_flat(flat, keys, w):
     return jnp.swapaxes(feat, 0, 1).reshape(n, -1)
 
 
+def _encode_from_flat_sorted(flat, keys, w):
+    """Sorted-gather variant of _encode_from_flat.
+
+    The 25.6M-key random gather is HBM-transaction bound on TPU; sorting
+    the keys first makes the accesses monotone (cache/transaction
+    coalescing), at the cost of two batched per-level sorts (pass-latency
+    bound: L levels sort in one lax.sort along dimension 1 for ~the cost
+    of one). Level ranges of the concatenated table ascend, so per-level
+    sorted keys flattened level-major are globally sorted too.
+    Exact same result as _encode_from_flat (same adds, reordered gather).
+    """
+    L, n, _ = keys.shape
+    M = n * 8
+    F = flat.shape[1]
+    kb = keys.reshape(L, M)
+    pos = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :], (L, M)
+    )
+    ks, ps = jax.lax.sort((kb, pos), dimension=1, num_keys=1,
+                          is_stable=False)
+    g = flat[ks.reshape(-1)].reshape(L, M, F)             # monotone gather
+    back = jax.lax.sort(
+        (ps,) + tuple(g[..., i] for i in range(F)),
+        dimension=1, num_keys=1, is_stable=False,
+    )
+    g2 = jnp.stack(back[1:], axis=-1).reshape(L, n, 8, F)
+    feat = jnp.sum(w[..., None] * g2, axis=2)             # [L, N, F]
+    return jnp.swapaxes(feat, 0, 1).reshape(n, -1)
+
+
+def _fwd_gather_mode() -> str:
+    """'random' (one flat gather) or 'sorted' (per-level sort + monotone
+    gather + sort-back). Env-gated for the TPU A/B; exact either way."""
+    return os.environ.get("GPT_HASH_FWD", "random")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def hashgrid_encode_fast(tables: dict, xyz, bound: float = 1.6,
                          n_min: int = 16, max_res: int = 2048,
@@ -175,7 +212,9 @@ def hashgrid_encode_fast(tables: dict, xyz, bound: float = 1.6,
 def _hef_impl(tables, xyz, bound, n_min, max_res):
     specs, _ = hashgrid_specs(tables, n_min, max_res)
     keys, w = hashgrid_keys_weights(xyz, specs, bound)
-    return _encode_from_flat(_flat_tables(tables), keys, w)
+    enc = (_encode_from_flat_sorted if _fwd_gather_mode() == "sorted"
+           else _encode_from_flat)
+    return enc(_flat_tables(tables), keys, w)
 
 
 def _hef_fwd(tables, xyz, bound, n_min, max_res, backend):

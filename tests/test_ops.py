@@ -173,6 +173,21 @@ class TestHashGrid:
                 )
             assert float(jnp.abs(g_xyz).max()) == 0.0
 
+    def test_sorted_gather_fwd_bitexact(self):
+        """_encode_from_flat_sorted (per-level sort + monotone gather +
+        sort-back) must equal the flat random gather bit-for-bit: same
+        adds in the same per-point order, only the gather is reordered."""
+        key = jax.random.PRNGKey(9)
+        tables = hashgrid.init_hashgrid(key, n_levels=6, n_features=4,
+                                        log2_T=10, n_min=4, max_res=64)
+        xyz = jnp.asarray(rnd(513, 3, seed=23) * 1.5)
+        specs, _ = hashgrid.hashgrid_specs(tables, 4, 64)
+        keys, w = hashgrid.hashgrid_keys_weights(xyz, specs, 1.6)
+        flat = hashgrid._flat_tables(tables)
+        a = hashgrid._encode_from_flat(flat, keys, w)
+        b = hashgrid._encode_from_flat_sorted(flat, keys, w)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fourier_encoder(self):
         from gaussianprediction_tpu.ops import fourier_enc
 
