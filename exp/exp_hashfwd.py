@@ -53,7 +53,12 @@ def chain(fn):
         def body(i, carry):
             xx, acc = carry
             l = fn(xx)
-            return xx + 1e-38 * l, acc + l
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                # runtime-zero feedback (defeats hoisting; exact for ints)
+                fb = (l * 1e-38).astype(x.dtype)
+            else:
+                fb = (1e-38 * l).astype(x.dtype)
+            return xx + fb, acc + l
         _, acc = jax.lax.fori_loop(0, REPS, body, (x, jnp.float32(0.0)))
         return acc
     return run

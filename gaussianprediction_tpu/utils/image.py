@@ -41,27 +41,57 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _banded_blur_matrix(n: int, window_size: int, sigma: float,
+                        valid: bool):
+    """[n_out, n] banded matrix applying the 1D gaussian window along one
+    axis ('same' zero padding, or valid-region rows)."""
+    taps = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for k, t in enumerate(taps):
+        off = k - half
+        src = np.arange(n) + off
+        ok = (src >= 0) & (src < n)
+        m[np.arange(n)[ok], src[ok]] += t
+    if valid:
+        m = m[half:n - half]
+    return m
+
+
 def _depthwise_blur(img, window_size: int, sigma: float, valid: bool = False):
     """Separable depthwise gaussian filter on [..., H, W, C].
 
     valid=False uses 'same' zero padding (matching F.conv2d(padding=w//2) in
     the reference ssim); valid=True crops to the valid region (used by the
     ms-ssim implementation which pytorch_msssim computes with no padding).
+
+    Implemented as two banded-matrix contractions instead of depthwise
+    convs: XLA lowers feature-grouped convs to VPU tap loops on TPU
+    (~10x the cost), while [H, H] @ [H, W*C] rides the MXU. HIGHEST
+    precision keeps the f32 taps untruncated (the v5e MXU rounds DEFAULT
+    operands to bf16; the loss gradient flows through this).
     """
     *batch, H, W, C = img.shape
     x = img.reshape((-1, H, W, C))
-    taps = jnp.asarray(_gaussian_window(window_size, sigma))
-    kh = taps.reshape(window_size, 1, 1, 1)  # HWIO, depthwise
-    kw = taps.reshape(1, window_size, 1, 1)
-    pad = "SAME" if not valid else "VALID"
-    dn = jax.lax.conv_dimension_numbers(x.shape, (window_size, 1, 1, 1),
-                                        ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (1, 1, 1, C)), (1, 1), pad, dimension_numbers=dn,
-        feature_group_count=C)
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kw, (1, 1, 1, C)), (1, 1), pad, dimension_numbers=dn,
-        feature_group_count=C)
+    B = x.shape[0]
+    mh = jnp.asarray(_banded_blur_matrix(H, window_size, sigma, valid))
+    mw = jnp.asarray(_banded_blur_matrix(W, window_size, sigma, valid))
+    # rows: [Ho, H] x [B, H, W*C] over H
+    x = jax.lax.dot_general(
+        mh, x.reshape(B, H, W * C), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Ho, B, W*C]
+    Ho = x.shape[0]
+    x = x.reshape(Ho, B, W, C)
+    # cols: [Wo, W] x [Ho, B, W, C] over W
+    x = jax.lax.dot_general(
+        mw, x, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Wo, Ho, B, C]
+    x = jnp.transpose(x, (2, 1, 0, 3))
     return x.reshape(tuple(batch) + x.shape[1:])
 
 
