@@ -81,7 +81,8 @@ def main():
     def adam(p):
         newp, _ = opt_mod.adam_step(p, grads, opt_state, cfg, 1, 1.0,
                                     jnp.int32(1000))
-        return jnp.sum(newp["xyz"][::31]) + jnp.sum(newp["f_rest"][::131, 0])
+        return (jnp.sum(newp["xyz"][::31])
+                + jnp.sum(newp["features_rest"][::131, 0, 0]))
 
     timed("L3 adam_step (stage1)", chain(adam), params)
 

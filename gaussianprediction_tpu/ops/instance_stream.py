@@ -142,7 +142,8 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     # + [P,16] row gather (~21 ms) and emits channel-major SoA directly so
     # the tile sort's operands below are contiguous row slices.
     B, W = expand_pallas.BSLOT, expand_pallas.WCAND
-    cap512 = ((capacity + B - 1) // B) * B
+    S = expand_pallas.STEP
+    cap512 = ((capacity + S - 1) // S) * S
     qmax = max((N - 1) // W, 0)
     Np = (qmax + 2) * W
     pad = Np - N
@@ -195,14 +196,13 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     padded_t = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
     pstart = (jnp.cumsum(padded_t) - padded_t).astype(jnp.int32)
 
-    # 5. dummy alignment entries
+    # 5. dummy alignment entries, built as a [T, CHUNK] broadcast (the
+    # round-1 repeat/tile + random [TC] gather cost several ms at T=2500)
     TC = num_tiles * CHUNK
-    d_tile = jnp.repeat(
-        jnp.arange(num_tiles, dtype=jnp.int32), CHUNK
-    )
-    d_rank = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), num_tiles)
-    d_active = d_rank < (padded_t - counts_t)[d_tile]
-    d_key = jnp.where(d_active, d_tile, sentinel)
+    need = (padded_t - counts_t)[:, None]                  # [T, 1]
+    rank = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]     # [1, CHUNK]
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
+    d_key = jnp.where(rank < need, tile_ids, sentinel).reshape(-1)
     d_zero = jnp.zeros((TC,), jnp.float32)
 
     # 6. ONE stable sort by tile id CARRYING all 11 channels as sort values:

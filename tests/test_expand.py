@@ -22,8 +22,13 @@ def _run(counts, grid_x=8, capacity=None, tminx=None, tminy=None):
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
     total = int(counts.sum())
     if capacity is None:
-        capacity = ((total + EXP.BSLOT - 1) // EXP.BSLOT) * EXP.BSLOT
-    assert capacity % EXP.BSLOT == 0
+        capacity = total
+    # mirror build_instances_fwd: the DROP policy honours the requested
+    # capacity exactly (total is clamped to it); the buffer rounds up to
+    # the kernel's STEP granularity with invalid tail slots
+    total = min(total, capacity)
+    capacity = ((capacity + EXP.STEP - 1) // EXP.STEP) * EXP.STEP
+    assert capacity % EXP.STEP == 0
     rng = np.random.default_rng(0)
     feat = rng.normal(size=(10, n)).astype(np.float32)
     if tminx is None:
@@ -113,8 +118,8 @@ class TestExpandKernel:
         out = EXP.expand_rows(
             jnp.zeros((16, 2 * EXP.WCAND), jnp.float32),
             jnp.full((1, 2 * EXP.WCAND), EXP.HUGE, jnp.int32),
-            jnp.zeros((1,), jnp.int32),
-            jnp.asarray([0], jnp.int32), EXP.BSLOT, 8, sentinel=64,
+            jnp.zeros((EXP.STEP // EXP.BSLOT,), jnp.int32),
+            jnp.asarray([0], jnp.int32), EXP.STEP, 8, sentinel=64,
             interpret=True,
         )
         out = np.asarray(out)
