@@ -136,6 +136,54 @@ def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):
     out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
+ILV_BLK = 32768    # lanes per interleave grid step
+
+
+def _interleave_kernel(*refs):
+    ins = refs[:-1]                       # 11 x [1, ILV_BLK]
+    out_ref = refs[-1]                    # [16, ILV_BLK]
+    gid = ins[10][...]
+    valid = (gid >= 0.0).astype(jnp.float32)
+    zeros = jnp.zeros_like(gid)
+    out_ref[...] = jnp.concatenate(
+        [ins[c][...] for c in range(10)]
+        + [gid, valid, zeros, zeros, zeros, zeros],
+        axis=0,
+    )
+
+
+def interleave_rows(chans, interpret=None):
+    """11 x [P] channel arrays -> [16, P] instance SoA (rows 0-9 feat,
+    10 gid, 11 valid=gid>=0, 12-15 zero).
+
+    XLA's stack/concatenate emitter costs ~18 ms fused after the tile sort
+    at P~2.3M (exp_tilesort S3-S2) for what is ~0.7 ms of HBM traffic;
+    this kernel streams 11 x [1, BLK] blocks in and one [16, BLK] block
+    out. P must be a multiple of ILV_BLK (callers pad the dummy region)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    P = chans[0].shape[0]
+    if interpret:
+        gid = chans[10]
+        valid = (gid >= 0.0).astype(jnp.float32)
+        zeros = jnp.zeros_like(gid)
+        return jnp.stack(
+            tuple(chans[:10]) + (gid, valid, zeros, zeros, zeros, zeros),
+            axis=0,
+        )
+    assert P % ILV_BLK == 0, P
+    nb = P // ILV_BLK
+    in2d = [c.reshape(1, P) for c in chans]
+    return pl.pallas_call(
+        _interleave_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, ILV_BLK), lambda b: (0, b))] * 11,
+        out_specs=pl.BlockSpec((NCH, ILV_BLK), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((NCH, P), jnp.float32),
+        interpret=interpret,
+    )(*in2d)
+
+
 def expand_rows(permat, offs_row, starts_q, total, capacity: int,
                 grid_x: int, sentinel: int, interpret=None):
     """permat: [16, Np] channel-major per-Gaussian rows, depth-sorted and

@@ -197,13 +197,23 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     pstart = (jnp.cumsum(padded_t) - padded_t).astype(jnp.int32)
 
     # 5. dummy alignment entries, built as a [T, CHUNK] broadcast (the
-    # round-1 repeat/tile + random [TC] gather cost several ms at T=2500)
+    # round-1 repeat/tile + random [TC] gather cost several ms at T=2500).
+    # The dummy region is extended so the total buffer is a multiple of
+    # the interleave kernel's block (extra rows carry the sentinel key and
+    # sort harmlessly past every tile segment).
     TC = num_tiles * CHUNK
+    Pp = cap512 + TC
+    ILV = expand_pallas.ILV_BLK
+    Pp = ((Pp + ILV - 1) // ILV) * ILV
+    pad_extra = Pp - cap512 - TC
     need = (padded_t - counts_t)[:, None]                  # [T, 1]
     rank = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]     # [1, CHUNK]
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
-    d_key = jnp.where(rank < need, tile_ids, sentinel).reshape(-1)
-    d_zero = jnp.zeros((TC,), jnp.float32)
+    d_key = jnp.concatenate([
+        jnp.where(rank < need, tile_ids, sentinel).reshape(-1),
+        jnp.full((pad_extra,), sentinel, jnp.int32),
+    ])
+    d_zero = jnp.zeros((TC + pad_extra,), jnp.float32)
 
     # 6. ONE stable sort by tile id CARRYING all 11 channels as sort values:
     # random row gathers of [2.3M, 16] cost ~74 ms on this TPU while value-
@@ -211,20 +221,15 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     # 8.6 ms at 3.3M, exp/exp_bigsort.py) — round 1 paired two <=9-operand
     # sorts out of compile-time caution. The operands are contiguous row
     # slices of the kernel's SoA output (no strided column extraction).
+    # The [16, Pp] SoA is assembled by the Pallas interleave kernel: XLA's
+    # stack emitter costs ~18 ms fused after the sort (exp_tilesort S3-S2).
     all_key = jnp.concatenate([key, d_key])
-    Pp = cap512 + TC
     chans = tuple(
         jnp.concatenate([inst_soa[c], d_zero]) for c in range(10)
     ) + (jnp.concatenate([inst_soa[10], d_zero - 1.0]),)  # dummy gid = -1
     s = jax.lax.sort((all_key,) + chans, num_keys=1, is_stable=True)
-    gid_sorted = s[-1]
-    validch = (gid_sorted >= 0.0).astype(jnp.float32)
-    inst = jnp.stack(
-        s[1:] + (validch, jnp.zeros_like(validch),
-                 jnp.zeros_like(validch), jnp.zeros_like(validch),
-                 jnp.zeros_like(validch)),
-        axis=0,
-    )  # [16, P+TC] SoA — the orientation the Pallas kernels DMA directly
+    inst = expand_pallas.interleave_rows(s[1:], interpret=interpret)
+    # [16, Pp] SoA — the orientation the Pallas kernels DMA directly
 
     tile_start = jnp.minimum(pstart, Pp)
     tile_end = jnp.minimum(pstart + counts_t, Pp)
