@@ -20,6 +20,8 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--n", type=int, default=200_000)
     p.add_argument("--wh", type=int, default=800)
+    p.add_argument("--encoder", default="hashgrid",
+                   choices=("hashgrid", "fourier"))
     args = p.parse_args()
 
     from gaussianprediction_tpu.utils.compile_cache import (
@@ -44,6 +46,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     cfg = Config()
     cfg.model.max_gaussian_size = args.n
+    cfg.model.weight_encoder = args.encoder
     W = H = args.wh
 
     g = random_gaussians(args.n, seed=42, scale_range=(-5.2, -3.8))
@@ -87,7 +90,21 @@ def main():
             _ = float(m["loss"])
         dt = (time.time() - t0) / args.iters
         results[stage] = dt
-        print(f"stage {stage}: {dt*1000:.1f} ms/iter", flush=True)
+        print(f"stage {stage}: {dt*1000:.1f} ms/iter (per-iter sync)",
+              flush=True)
+        # amortized: enqueue a burst, sync once (hides the tunnel RTT the
+        # way train/loop's steps_per_call chunks do on real hosts)
+        burst = 4 * args.iters
+        t0 = time.time()
+        for i in range(burst):
+            state, opt_state, m = step(
+                state, opt_state, cam, gt, jnp.float32(0.37),
+                jnp.int32(it0 + 9 + i), jax.random.PRNGKey(31 + i),
+            )
+        _ = float(m["loss"])
+        dt2 = (time.time() - t0) / burst
+        print(f"stage {stage}: {dt2*1000:.1f} ms/iter (amortized x{burst})",
+              flush=True)
 
     print({k: f"{v*1000:.1f} ms" for k, v in results.items()})
 
