@@ -103,7 +103,8 @@ def main():
             capacity_multiplier=10, interpret=interpret,
             need_tidx=False,  # training-path render: tidx is eval-only
         )
-        return jnp.mean(jnp.abs(out["render"] - 0.5)), out["n_dropped"]
+        return jnp.mean(jnp.abs(out["render"] - 0.5)), (
+            out["n_dropped"], out["n_instances"])
 
     vg = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4), has_aux=True)
 
@@ -116,26 +117,29 @@ def main():
 
     def chained(xyz, scal, rot, op, shs):
         def body(i, carry):
-            op_c, acc, nd_c = carry
-            (l, nd), grads = vg(xyz, scal, rot, op_c, shs)
+            op_c, acc, nd_c, ni_c = carry
+            (l, (nd, ni)), grads = vg(xyz, scal, rot, op_c, shs)
             dep = 1e-38 * jnp.mean(grads[3])
-            return op_c + dep, acc + l, jnp.maximum(nd_c, nd)
+            return (op_c + dep, acc + l, jnp.maximum(nd_c, nd),
+                    jnp.maximum(ni_c, ni))
 
-        _, acc, nd = jax.lax.fori_loop(
-            0, REPS, body, (op, jnp.float32(0.0), jnp.int32(0))
+        _, acc, nd, ni = jax.lax.fori_loop(
+            0, REPS, body, (op, jnp.float32(0.0), jnp.int32(0),
+                            jnp.int32(0))
         )
-        return acc, nd
+        return acc, nd, ni
 
     bench_fn = jax.jit(chained)
 
     # compile + warmup (forced host sync)
-    l, nd = bench_fn(xyz, scal, rot, op, shs)
+    l, nd, ni = bench_fn(xyz, scal, rot, op, shs)
     _ = float(l)
     n_dropped = int(nd)
+    n_instances = int(ni)
 
     t0 = time.time()
     for _ in range(iters):
-        l, nd = bench_fn(xyz, scal, rot, op, shs)
+        l, nd, ni = bench_fn(xyz, scal, rot, op, shs)
         _ = float(l)  # host sync
     dt = (time.time() - t0) / (iters * REPS)
     rays_per_s = W * H / dt
@@ -149,6 +153,7 @@ def main():
             "width": W, "height": H, "n_gaussians": N,
             "ms_per_iter": round(dt * 1000, 2),
             "n_dropped": n_dropped,
+            "n_instances": n_instances,
             "platform": jax.devices()[0].platform,
             "note": "fwd+bwd through the full differentiable render "
                     "(projection+SH+binning+Pallas blend); 8 chained "

@@ -25,6 +25,9 @@ from gaussianprediction_tpu.train.loop import Trainer
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2400
     cfg = get_preset("test")
+    # quality A/B of the weight encoders (GPT_ENCODER=fourier|hashgrid)
+    cfg.model.weight_encoder = os.environ.get("GPT_ENCODER", "hashgrid")
+    print("weight_encoder:", cfg.model.weight_encoder)
     cfg.train.jointly_iteration = 150
     cfg.train.second_stage_iteration = 1200
     cfg.train.third_stage_iteration = 1800

@@ -106,6 +106,45 @@ def main():
         print(f"stage {stage}: {dt2*1000:.1f} ms/iter (amortized x{burst})",
               flush=True)
 
+        # scan burst: 8 steps fused in ONE device program — pure device
+        # time per iter, no dispatch/transfer at all
+        _, step_raw, _ = make_train_step(
+            cfg, stage, W, H, 1.0, cfg.model.sh_degree, 100, bg,
+        )
+        SCAN = 8
+
+        @jax.jit
+        def scan_burst(st, os_, base_it, key):
+            def body(c, i):
+                s_, o_ = c
+                s_, o_, m = step_raw(
+                    s_, o_, cam, gt, jnp.float32(0.37), base_it + i,
+                    jax.random.fold_in(key, i),
+                )
+                return (s_, o_), m["loss"]
+            (s_, o_), losses = jax.lax.scan(
+                body, (st, os_), jnp.arange(SCAN, dtype=jnp.int32)
+            )
+            return s_, o_, losses
+
+        t0 = time.time()
+        state, opt_state, losses = scan_burst(
+            state, opt_state, jnp.int32(it0 + 100), jax.random.PRNGKey(99)
+        )
+        _ = float(losses[-1])
+        print(f"stage {stage}: scan compile+1st {time.time()-t0:.1f}s",
+              flush=True)
+        t0 = time.time()
+        for i in range(args.iters):
+            state, opt_state, losses = scan_burst(
+                state, opt_state, jnp.int32(it0 + 200 + SCAN * i),
+                jax.random.PRNGKey(100 + i),
+            )
+            _ = float(losses[-1])
+        dt3 = (time.time() - t0) / (args.iters * SCAN)
+        print(f"stage {stage}: {dt3*1000:.1f} ms/iter (scan x{SCAN})",
+              flush=True)
+
     print({k: f"{v*1000:.1f} ms" for k, v in results.items()})
 
 

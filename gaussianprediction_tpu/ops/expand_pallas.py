@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BSLOT = 128        # instance slots per sub-block (lane dim of the output)
-SUB = 4            # sub-blocks per grid step
+SUB = 8            # sub-blocks per grid step (measured ~3.8 us fixed cost
+                   # per grid step at SUB=4; fewer, fatter steps win)
 STEP = BSLOT * SUB # instance slots per grid step
 WCAND = 128        # candidate-window width; 2 windows cover the <=129
                    # candidates a 128-slot sub-block can touch (every

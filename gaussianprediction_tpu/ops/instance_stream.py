@@ -70,6 +70,9 @@ class InstanceStream(NamedTuple):
     tile_start: jnp.ndarray  # [T]
     tile_end: jnp.ndarray    # [T]
     n_dropped: jnp.ndarray   # [] int32
+    n_total: jnp.ndarray     # [] int32 pre-drop instance count (capacity
+                             # sizing signal: callers tune capacity_multiplier
+                             # to keep n_total <= capacity with slack)
 
 
 def _capped_rect(tmin, tmax, center_px, max_tiles: int):
@@ -244,7 +247,8 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         total - capacity, 0
     )
 
-    stream = InstanceStream(inst, tile_start, tile_end, n_dropped)
+    stream = InstanceStream(inst, tile_start, tile_end, n_dropped,
+                            total + (n_dropped - jnp.maximum(total - capacity, 0)))
     # KEPT (post-capacity-drop) per-Gaussian counts, depth order: slots
     # [offsets, offsets+count) clipped to [0, capacity). Using raw `count`
     # here misaligns every run boundary in the backward once instances are

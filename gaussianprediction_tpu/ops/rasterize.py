@@ -86,6 +86,7 @@ def render(
             "radii": jnp.zeros((0,), jnp.int32),
             "visibility_filter": jnp.zeros((0,), bool),
             "n_dropped": jnp.int32(0),
+            "n_instances": jnp.int32(0),
             "proj": None,
         }
 
@@ -170,6 +171,7 @@ def render(
         inst = stream.inst
         tile_start, tile_end = stream.tile_start, stream.tile_end
         n_dropped = stream.n_dropped
+        n_instances = stream.n_total
     else:
         bins = bin_stopgrad(proj, width, band_height, capacity)
         gid = jnp.maximum(bins.gauss_id, 0)
@@ -187,6 +189,7 @@ def render(
         tile_start = jax.lax.stop_gradient(bins.tile_start)
         tile_end = jax.lax.stop_gradient(bins.tile_end)
         n_dropped = bins.n_dropped
+        n_instances = jnp.sum(tile_end - tile_start) + bins.n_dropped
     # need_tidx=False skips the per-chunk argmax-gaussian tracking in the
     # forward kernel — tidx is an eval-only output (train never reads it)
     out_f = rp.rasterize_binned(inst, tile_start, tile_end, grid_x, grid_y,
@@ -209,6 +212,7 @@ def render(
         "radii": full_proj_for_stats.radius,
         "visibility_filter": full_proj_for_stats.radius > 0,
         "n_dropped": n_dropped,
+        "n_instances": n_instances,
         "proj": full_proj_for_stats,
     }
 
