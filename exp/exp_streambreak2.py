@@ -200,10 +200,10 @@ def main():
         padded_t = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
         pstart = (jnp.cumsum(padded_t) - padded_t).astype(jnp.int32)
         TC = num_tiles * CHUNK
-        d_tile = jnp.repeat(jnp.arange(num_tiles, dtype=jnp.int32), CHUNK)
-        d_rank = jnp.tile(jnp.arange(CHUNK, dtype=jnp.int32), num_tiles)
-        d_active = d_rank < (padded_t - counts_t)[d_tile]
-        d_key = jnp.where(d_active, d_tile, sentinel)
+        need = (padded_t - counts_t)[:, None]
+        rank = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
+        d_key = jnp.where(rank < need, tile_ids, sentinel).reshape(-1)
         return (jnp.sum(pstart[::7]) + jnp.sum(d_key[::11])
                 ).astype(jnp.float32)
 
