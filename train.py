@@ -51,6 +51,12 @@ def build_parser():
     p.add_argument("--checkpoint_iterations", nargs="+", type=int,
                    default=None)
     p.add_argument("--test_iterations", nargs="+", type=int, default=None)
+    p.add_argument("--weight_encoder", default=None,
+                   choices=("hashgrid", "fourier"),
+                   help="stage-2/3 blend-weight encoder: 'hashgrid' is the "
+                        "tcnn-parity default; 'fourier' is the MXU-native "
+                        "fast path (identical convergence in the synthetic "
+                        "A/B, ~2.7x faster stage-2 steps on TPU)")
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 enables the sharded multi-chip train path")
     p.add_argument("--profile_steps", type=int, default=None,
@@ -77,7 +83,7 @@ def resolve_config(args):
     cfg.model_path = args.model_path
     over_model = ["max_time", "max_points", "adaptive_points_num",
                   "nearest_num", "feature_amplify", "norm_rotation",
-                  "step_opacity", "white_background"]
+                  "step_opacity", "white_background", "weight_encoder"]
     over_opt = ["iterations", "time_freq", "densify_from_iter",
                 "densify_until_iter", "position_lr_max_steps"]
     over_train = ["second_stage_iteration", "third_stage_iteration",
