@@ -46,7 +46,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PIX = 256          # pixels per 16x16 tile (sublane dim of the alpha matrix)
-CHUNK = 128        # instances per streamed chunk (lane dim)
+CHUNK = 128        # instance ALIGNMENT quantum (tile segments are padded to
+                   # multiples of this by the binning stage)
+# streaming width of the blend kernels: KCHUNK = CHUNK * GPT_KCHUNK_X lanes
+# per inner iteration. Both kernels are ~0.8 us/iteration fixed-cost bound
+# (11.3 + 15.8 ms fwd+bwd at 18.5k chunk-iterations) while the VPU math is
+# ~2.5 ms, so fatter iterations amortize the loop overhead. The blend math
+# is partition-invariant (the done-latch/test_T sequence per lane does not
+# depend on where chunk boundaries fall), so any X is exact.
+KCHUNK = CHUNK * int(os.environ.get("GPT_KCHUNK_X", "1"))
 NCH = 16           # packed f32 channels per instance
 T_EPS = 1e-4
 ALPHA_CLAMP = 0.99
@@ -98,10 +106,14 @@ def _inclusive_scan(x, op, identity):
     return y
 
 
-def _chunk_quantities(data, px, py, T_in, done_in):
+def _chunk_quantities(data, px, py, T_in, done_in, remaining):
     """Shared fwd/bwd per-chunk math.
 
-    data: [NCH, CHUNK] packed instances; px/py: [PIX, 1] pixel centers;
+    data: [NCH, KCHUNK] packed instances; remaining: [] int32 lanes of the
+    real segment left at this chunk's offset — lanes beyond it belong to
+    the NEXT tile's segment when KCHUNK > CHUNK and must be masked (within
+    the CHUNK-padded region they are zero-valid dummies already);
+    px/py: [PIX, 1] pixel centers;
     T_in: [PIX, 1] carried transmittance; done_in: [PIX, 1] f32 0/1 done
     latch (booleans are avoided in while-loop carries — Mosaic cannot
     legalize i1 vector yields).
@@ -126,13 +138,15 @@ def _chunk_quantities(data, px, py, T_in, done_in):
     cc = data[C_CC:C_CC + 1, :]
     op = data[C_OP:C_OP + 1, :]
     vch = data[C_VALID:C_VALID + 1, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, data.shape[1]), 1)
+    in_seg = lane < remaining          # [1, KCHUNK]
 
     dx = px - mx                       # [PIX, CHUNK]
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     Gv = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, op * Gv)
-    valid = (vch > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    valid = (vch > 0.5) & in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(valid, alpha, 0.0)
     om = 1.0 - alpha
 
@@ -171,13 +185,14 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
-    nchunks = pl.cdiv(end - start, CHUNK)
+    seg = end - start
+    nchunks = pl.cdiv(seg, KCHUNK)
     px, py = _pixel_coords(t, grid_x)
 
     def get_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(start + c * KCHUNK, CHUNK)
         return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, CHUNK)],
+            inst_ref.at[:, pl.ds(off, KCHUNK)],
             chunk_vmem.at[slot],
             sems.at[slot],
         )
@@ -199,9 +214,9 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
         get_dma(c % 2, c).wait()
         data = chunk_vmem[c % 2]
-        q = _chunk_quantities(data, px, py, T, done)
-        rgbz = data[C_R:C_R + 4, :]            # [4, CHUNK]
-        w = q["w"]                              # [PIX, CHUNK]
+        q = _chunk_quantities(data, px, py, T, done, seg - c * KCHUNK)
+        rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
+        w = q["w"]                              # [PIX, KCHUNK]
         acc = acc + jax.lax.dot_general(
             w, rgbz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -243,7 +258,12 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
-    nchunks = pl.cdiv(end - start, CHUNK)
+    seg = end - start
+    nchunks = pl.cdiv(seg, KCHUNK)
+    # lanes of the CHUNK-padded segment: gradient writes must stay inside
+    # it (beyond lives the NEXT tile's segment, owned by another program)
+    padded_len = pl.cdiv(seg, CHUNK) * CHUNK
+    NH = KCHUNK // CHUNK
     px, py = _pixel_coords(t, grid_x)
 
     dpix = dpix_ref[0]                     # [PIX, 8]
@@ -271,20 +291,35 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     oy = (tile_y * 16).astype(jnp.float32)
 
     def get_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(start + c * KCHUNK, CHUNK)
         return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, CHUNK)],
+            inst_ref.at[:, pl.ds(off, KCHUNK)],
             chunk_vmem.at[slot],
             sems.at[slot],
         )
 
-    def put_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+    def put_dma_h(slot, c, h):
+        off = pl.multiple_of(start + c * KCHUNK + h * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            dchunk_vmem.at[slot],
+            dchunk_vmem.at[slot, :, pl.ds(h * CHUNK, CHUNK)],
             dinst_ref.at[:, pl.ds(off, CHUNK)],
-            wsems.at[slot],
+            wsems.at[slot, h],
         )
+
+    def h_in_seg(c, h):
+        return (c * KCHUNK + h * CHUNK) < padded_len
+
+    def put_start(slot, c):
+        for h in range(NH):
+            @pl.when(h_in_seg(c, h))
+            def _(h=h):
+                put_dma_h(slot, c, h).start()
+
+    def put_wait(slot, c):
+        for h in range(NH):
+            @pl.when(h_in_seg(c, h))
+            def _(h=h):
+                put_dma_h(slot, c, h).wait()
 
     @pl.when(nchunks > 0)
     def _():
@@ -303,10 +338,10 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         get_dma(c % 2, c).wait()
         data = chunk_vmem[c % 2]
-        q = _chunk_quantities(data, px, py, T, done)
+        q = _chunk_quantities(data, px, py, T, done, seg - c * KCHUNK)
         w, contribute = q["w"], q["contribute"]
 
-        rgbz = data[C_R:C_R + 4, :]            # [4, CHUNK]
+        rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
         # v_{p,i} = c_i . d_rgb_p + z_i * d_z_p    [PIX, CHUNK]
         # HIGHEST: the v5e MXU truncates f32 dot operands to bf16 by
         # default; these two dots feed position/covariance gradients
@@ -360,14 +395,14 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         @pl.when(c >= 2)
         def _():
-            put_dma(c % 2, c - 2).wait()
+            put_wait(c % 2, c - 2)
 
         dchunk_vmem[c % 2] = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop, dcol,
-             jnp.zeros((NCH - 10, CHUNK), jnp.float32)],
+             jnp.zeros((NCH - 10, KCHUNK), jnp.float32)],
             axis=0,
         )
-        put_dma(c % 2, c).start()
+        put_start(c % 2, c)
         return c + 1, q["T_out"], q["done_out"], S + jnp.sum(wv, axis=1, keepdims=True)
 
     init = (
@@ -384,18 +419,18 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
     @pl.when(c_fin >= 2)                # drain outstanding writes
     def _():
-        put_dma(c_fin % 2, c_fin - 2).wait()
+        put_wait(c_fin % 2, c_fin - 2)
 
     @pl.when(c_fin >= 1)
     def _():
-        put_dma((c_fin - 1) % 2, c_fin - 1).wait()
+        put_wait((c_fin - 1) % 2, c_fin - 1)
 
 
 def _pad_inst_T(instT):
     """Pad the [NCH, P] buffer with one extra (benign) chunk so the fixed-
     size DMA at the final partial chunk stays in bounds."""
     return jnp.concatenate(
-        [instT, jnp.zeros((instT.shape[0], CHUNK), instT.dtype)], axis=1
+        [instT, jnp.zeros((instT.shape[0], KCHUNK), instT.dtype)], axis=1
     )
 
 
@@ -429,7 +464,7 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
             (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -478,10 +513,10 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, KCHUNK // CHUNK)),
         ],
     )
     dinstT = pl.pallas_call(
@@ -492,7 +527,7 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_end, instT, dpix, dinst_init)
-    return (dinstT[:, :-CHUNK], None, None)
+    return (dinstT[:, :-KCHUNK], None, None)
 
 
 rasterize_binned.defvjp(_rasterize_fwd_rule, _rasterize_bwd_rule)
