@@ -43,9 +43,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BSLOT = 128        # instance slots per sub-block (lane dim of the output)
-SUB = 8            # sub-blocks per grid step (measured ~3.8 us fixed cost
-                   # per grid step at SUB=4; fewer, fatter steps win)
+SUB = 4            # sub-blocks per grid step. The windowed kernel is
+                   # DMA-ISSUE bound (4 window DMAs per sub-block, count
+                   # invariant to SUB: SUB=8 measured the same 14.7 ms with
+                   # 5x the compile time), so SUB only trades compile time;
+                   # the resident-VMEM path below is the real fix.
 STEP = BSLOT * SUB # instance slots per grid step
+# Whole-permat-resident path: when the [16, Np] per-Gaussian matrix plus
+# the offs row fit comfortably in VMEM (~16 MB/core), load them ONCE and
+# slice candidate windows in-VMEM — zero window DMAs. At 200k Gaussians
+# permat is 12.8 MB; the windowed fallback covers larger N.
+RES_MAX_BYTES = 13 * 1024 * 1024
+RSUB = 16          # sub-blocks per grid step in the resident kernel
+ALIGN = BSLOT * max(SUB, RSUB)   # capacity rounding for both kernels
 WCAND = 128        # candidate-window width; 2 windows cover the <=129
                    # candidates a 128-slot sub-block can touch (every
                    # compacted candidate owns >= 1 slot), with exactly no
@@ -63,6 +73,68 @@ def _interpret_default() -> bool:
     return platform not in ("tpu", "axon")
 
 
+def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
+    """Per-sub-block expansion math shared by both kernels.
+
+    offs_w: [1, 2W] int32 candidate offsets window; pw: [16, 2W] candidate
+    rows; jcol: [B, 1] global slot indices. Returns [16, B] output rows.
+    """
+    offs_nx = jnp.concatenate(
+        [offs_w[:, 1:], jnp.full((1, 1), HUGE, jnp.int32)], axis=1
+    )
+    oh = jnp.where(
+        (offs_w <= jcol) & (offs_nx > jcol), 1.0, 0.0
+    )                                                    # [B, 2W]
+    # exact expansion at 3 MXU passes instead of 6: the v5e MXU rounds
+    # f32 operands to bf16 at DEFAULT, so split the VALUES operand into
+    # three exact bf16 terms (f32 has 24 mantissa bits = 3x8; each
+    # residual is exactly representable — the standard bf16x3 f32
+    # emulation) and matmul each against the 0/1 one-hot, itself exact
+    # in bf16. Mosaic rejects per-operand dot precision, so the split
+    # is done by hand; f32 accumulation of the three selected terms
+    # reconstructs the value exactly.
+    oh_bf = oh.astype(jnp.bfloat16)
+    hi = pw.astype(jnp.bfloat16)
+    r1 = pw - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def sel(vals_bf):
+        return jax.lax.dot_general(
+            vals_bf, oh_bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    rows = sel(hi) + sel(mid) + sel(lo)                  # [16, B]
+
+    offs_sel = rows[10:11, :]
+    tminx = rows[11:12, :]
+    tminy = rows[12:13, :]
+    rw = rows[13:14, :]
+    gid = rows[14:15, :]
+    B = jcol.shape[0]
+    # rect walk in exact f32 small-int arithmetic (k < 1024 = max_tiles
+    # area cap, rw >= 1: the f32 quotient can't round across an integer
+    # boundary because 1/rw >= 2^-10 exceeds half an ulp here)
+    jrow = jcol.reshape(1, B).astype(jnp.float32)        # [1, B]
+    k = jrow - offs_sel
+    rwm = jnp.maximum(rw, 1.0)
+    q = jnp.floor(k / rwm)
+    rem = k - q * rwm
+    keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
+
+    validf = (jcol.reshape(1, B) < total).astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            rows[0:10, :] * validf,
+            jnp.where(validf > 0.0, gid, -1.0),
+            jnp.where(validf > 0.0, keyf, jnp.float32(sentinel)),
+            jnp.zeros((NCH - 12, B), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):
     pms = refs[: 2 * SUB]            # pm1_i, pm2_i per sub-block
     ofs = refs[2 * SUB: 4 * SUB]     # of1_i, of2_i per sub-block
@@ -75,65 +147,38 @@ def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):
         offs_w = jnp.concatenate(
             [ofs[2 * i][...], ofs[2 * i + 1][...]], axis=1
         )                                                    # [1, 2W] int32
-        offs_nx = jnp.concatenate(
-            [offs_w[:, 1:], jnp.full((1, 1), HUGE, jnp.int32)], axis=1
-        )
-        jcol = (b * SUB + i) * BSLOT + jax.lax.broadcasted_iota(
-            jnp.int32, (BSLOT, 1), 0
-        )                                                    # [B, 1]
-        oh = jnp.where(
-            (offs_w <= jcol) & (offs_nx > jcol), 1.0, 0.0
-        )                                                    # [B, 2W]
         pw = jnp.concatenate(
             [pms[2 * i][...], pms[2 * i + 1][...]], axis=1
         )                                                    # [16, 2W]
-        # exact expansion at 3 MXU passes instead of 6: the v5e MXU rounds
-        # f32 operands to bf16 at DEFAULT, so split the VALUES operand into
-        # three exact bf16 terms (f32 has 24 mantissa bits = 3x8; each
-        # residual is exactly representable — the standard bf16x3 f32
-        # emulation) and matmul each against the 0/1 one-hot, itself exact
-        # in bf16. Mosaic rejects per-operand dot precision, so the split
-        # is done by hand; f32 accumulation of the three selected terms
-        # reconstructs the value exactly.
-        oh_bf = oh.astype(jnp.bfloat16)
-        hi = pw.astype(jnp.bfloat16)
-        r1 = pw - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        jcol = (b * SUB + i) * BSLOT + jax.lax.broadcasted_iota(
+            jnp.int32, (BSLOT, 1), 0
+        )                                                    # [B, 1]
+        outs.append(
+            _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
+        )
+    out_ref[...] = jnp.concatenate(outs, axis=1)
 
-        def sel(vals_bf, oh_bf=oh_bf):
-            return jax.lax.dot_general(
-                vals_bf, oh_bf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
 
-        rows = sel(hi) + sel(mid) + sel(lo)                  # [16, B]
+def _expand_kernel_res(q_ref, scal_ref, pm_ref, of_ref, out_ref, *,
+                       grid_x: int, sentinel: int):
+    """Resident-VMEM variant: pm_ref [16, Np] and of_ref [1, Np] live whole
+    in VMEM (loaded once — their index maps are constant); candidate
+    windows are in-VMEM dynamic slices at WCAND-aligned offsets."""
+    b = pl.program_id(0)
+    total = scal_ref[0]
 
-        offs_sel = rows[10:11, :]
-        tminx = rows[11:12, :]
-        tminy = rows[12:13, :]
-        rw = rows[13:14, :]
-        gid = rows[14:15, :]
-        # rect walk in exact f32 small-int arithmetic (k < 1024 = max_tiles
-        # area cap, rw >= 1: the f32 quotient can't round across an integer
-        # boundary because 1/rw >= 2^-10 exceeds half an ulp here)
-        jrow = jcol.reshape(1, BSLOT).astype(jnp.float32)    # [1, B]
-        k = jrow - offs_sel
-        rwm = jnp.maximum(rw, 1.0)
-        q = jnp.floor(k / rwm)
-        rem = k - q * rwm
-        keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
-
-        validf = (jcol.reshape(1, BSLOT) < total).astype(jnp.float32)
-        outs.append(jnp.concatenate(
-            [
-                rows[0:10, :] * validf,
-                jnp.where(validf > 0.0, gid, -1.0),
-                jnp.where(validf > 0.0, keyf, jnp.float32(sentinel)),
-                jnp.zeros((NCH - 12, BSLOT), jnp.float32),
-            ],
-            axis=0,
-        ))
+    outs = []
+    for i in range(RSUB):
+        q = q_ref[b * RSUB + i]
+        off0 = pl.multiple_of(q * WCAND, WCAND)
+        offs_w = of_ref[:, pl.ds(off0, 2 * WCAND)]
+        pw = pm_ref[:, pl.ds(off0, 2 * WCAND)]
+        jcol = (b * RSUB + i) * BSLOT + jax.lax.broadcasted_iota(
+            jnp.int32, (BSLOT, 1), 0
+        )
+        outs.append(
+            _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
+        )
     out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
@@ -194,10 +239,38 @@ def expand_rows(permat, offs_row, starts_q, total, capacity: int,
     starts_q: [nb] int32 candidate-window block indices (g0 // WCAND),
     one per BSLOT sub-block.
     total: [1] int32 live instance count.
-    Returns [16, capacity] f32 SoA (capacity a multiple of STEP)."""
+    Returns [16, capacity] f32 SoA (capacity a multiple of ALIGN)."""
     if interpret is None:
         interpret = _interpret_default()
-    assert capacity % STEP == 0
+    assert capacity % ALIGN == 0
+
+    resident = (permat.shape[1] * (NCH + 1) * 4) <= RES_MAX_BYTES
+    if resident:
+        nsteps = capacity // (RSUB * BSLOT)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (NCH, permat.shape[1]), lambda b, q, s: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, offs_row.shape[1]), lambda b, q, s: (0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (NCH, RSUB * BSLOT), lambda b, q, s: (0, b)
+            ),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _expand_kernel_res, grid_x=grid_x, sentinel=sentinel
+            ),
+            out_shape=jax.ShapeDtypeStruct((NCH, capacity), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(starts_q, total, permat, offs_row)
+
     nsteps = capacity // STEP
 
     pm_specs = []

@@ -145,7 +145,7 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     # + [P,16] row gather (~21 ms) and emits channel-major SoA directly so
     # the tile sort's operands below are contiguous row slices.
     B, W = expand_pallas.BSLOT, expand_pallas.WCAND
-    S = expand_pallas.STEP
+    S = expand_pallas.ALIGN
     cap512 = ((capacity + S - 1) // S) * S
     qmax = max((N - 1) // W, 0)
     Np = (qmax + 2) * W

@@ -27,8 +27,8 @@ def _run(counts, grid_x=8, capacity=None, tminx=None, tminy=None):
     # capacity exactly (total is clamped to it); the buffer rounds up to
     # the kernel's STEP granularity with invalid tail slots
     total = min(total, capacity)
-    capacity = ((capacity + EXP.STEP - 1) // EXP.STEP) * EXP.STEP
-    assert capacity % EXP.STEP == 0
+    capacity = ((capacity + EXP.ALIGN - 1) // EXP.ALIGN) * EXP.ALIGN
+    assert capacity % EXP.ALIGN == 0
     rng = np.random.default_rng(0)
     feat = rng.normal(size=(10, n)).astype(np.float32)
     if tminx is None:
@@ -114,12 +114,21 @@ class TestExpandKernel:
         # slots past capacity's total clamp are invalid
         assert (out[10, 256:] == -1).all() if out.shape[1] > 256 else True
 
+    def test_windowed_fallback_matches(self, monkeypatch):
+        """Force the windowed (non-resident) kernel and pin its equality
+        with the numpy reference on the worst-case boundary fixture."""
+        monkeypatch.setattr(EXP, "RES_MAX_BYTES", 0)
+        counts = np.ones(300, np.int64)
+        counts[127] = 2
+        out, ref = _run(counts)
+        np.testing.assert_array_equal(out, ref)
+
     def test_zero_total(self):
         out = EXP.expand_rows(
             jnp.zeros((16, 2 * EXP.WCAND), jnp.float32),
             jnp.full((1, 2 * EXP.WCAND), EXP.HUGE, jnp.int32),
-            jnp.zeros((EXP.STEP // EXP.BSLOT,), jnp.int32),
-            jnp.asarray([0], jnp.int32), EXP.STEP, 8, sentinel=64,
+            jnp.zeros((EXP.ALIGN // EXP.BSLOT,), jnp.int32),
+            jnp.asarray([0], jnp.int32), EXP.ALIGN, 8, sentinel=64,
             interpret=True,
         )
         out = np.asarray(out)
