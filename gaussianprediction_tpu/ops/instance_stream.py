@@ -38,6 +38,7 @@ asserts in tests; production configs are sized for zero drops).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -280,6 +281,22 @@ def build_instances_bwd(residuals, d_inst):
     n_neg = Pp - jnp.sum(counts_id)               # dummies + invalid slots
     ends = n_neg + jnp.cumsum(counts_id)
     starts = ends - counts_id
+
+    if os.environ.get("GPT_BWD_BATCHED_CUMSUM", "0") == "1":
+        # ONE [16, Pp] lane-axis cumsum instead of 10 serial 1-D cumsums
+        # (A/B via exp_bwdstream; the interleave kernel assembles the
+        # stack, rows 10-15 are zero/aux and ride along)
+        mat = expand_pallas.interleave_rows(b[1:] + (b[0].astype(jnp.float32),))
+        cs = jnp.cumsum(mat, axis=1)              # [16, Pp] inclusive
+        e1 = jnp.maximum(ends - 1, 0)
+        s1 = jnp.maximum(starts - 1, 0)
+        cols = []
+        for c in range(10):
+            hi = cs[c][e1]
+            lo = jnp.where(starts > 0, cs[c][s1], 0.0)
+            cols.append(jnp.where(counts_id > 0, hi - lo, 0.0))
+        dfeat = jnp.stack(cols, axis=1)           # [N, 10]
+        return (dfeat,)
 
     # per-channel contiguous cumsums + monotone boundary gathers: stacking
     # [Pp, 10] row-major first would turn 10 contiguous streams into one
