@@ -125,8 +125,8 @@ def main():
     rh_s = rhf.astype(jnp.int32)
 
     B, WC = expand_pallas.BSLOT, expand_pallas.WCAND
-    cap512 = (((capacity + expand_pallas.STEP - 1)
-               // expand_pallas.STEP) * expand_pallas.STEP)
+    cap512 = (((capacity + expand_pallas.ALIGN - 1)
+               // expand_pallas.ALIGN) * expand_pallas.ALIGN)
     qmax = max((N - 1) // WC, 0)
     Np = (qmax + 2) * WC
     pad = Np - N

@@ -53,7 +53,7 @@ STEP = BSLOT * SUB # instance slots per grid step
 # the offs row fit comfortably in VMEM (~16 MB/core), load them ONCE and
 # slice candidate windows in-VMEM — zero window DMAs. At 200k Gaussians
 # permat is 12.8 MB; the windowed fallback covers larger N.
-RES_MAX_BYTES = 13 * 1024 * 1024
+RES_MAX_BYTES = 14_800_000
 RSUB = 16          # sub-blocks per grid step in the resident kernel
 ALIGN = BSLOT * max(SUB, RSUB)   # capacity rounding for both kernels
 WCAND = 128        # candidate-window width; 2 windows cover the <=129
@@ -159,20 +159,31 @@ def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):
     out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
-def _expand_kernel_res(q_ref, scal_ref, pm_ref, of_ref, out_ref, *,
+def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
+                       pm_vmem, of_vmem, sems, *,
                        grid_x: int, sentinel: int):
-    """Resident-VMEM variant: pm_ref [16, Np] and of_ref [1, Np] live whole
-    in VMEM (loaded once — their index maps are constant); candidate
-    windows are in-VMEM dynamic slices at WCAND-aligned offsets."""
+    """Resident-VMEM variant: the [16, Np] permat and [1, Np] offs row are
+    DMA'd into persistent VMEM scratch ONCE at grid step 0 (scratch
+    survives across the sequential grid; a constant-index-map input block
+    is NOT enough — Mosaic re-fetched the whole 13.6 MB block every step,
+    ~16 ms of pure HBM traffic at the production shape); candidate windows
+    are then in-VMEM dynamic slices at WCAND-aligned offsets."""
     b = pl.program_id(0)
     total = scal_ref[0]
+
+    @pl.when(b == 0)
+    def _():
+        pltpu.make_async_copy(pm_hbm, pm_vmem, sems.at[0]).start()
+        pltpu.make_async_copy(of_hbm, of_vmem, sems.at[1]).start()
+        pltpu.make_async_copy(pm_hbm, pm_vmem, sems.at[0]).wait()
+        pltpu.make_async_copy(of_hbm, of_vmem, sems.at[1]).wait()
 
     outs = []
     for i in range(RSUB):
         q = q_ref[b * RSUB + i]
         off0 = pl.multiple_of(q * WCAND, WCAND)
-        offs_w = of_ref[:, pl.ds(off0, 2 * WCAND)]
-        pw = pm_ref[:, pl.ds(off0, 2 * WCAND)]
+        offs_w = of_vmem[:, pl.ds(off0, 2 * WCAND)]
+        pw = pm_vmem[:, pl.ds(off0, 2 * WCAND)]
         jcol = (b * RSUB + i) * BSLOT + jax.lax.broadcasted_iota(
             jnp.int32, (BSLOT, 1), 0
         )
@@ -230,6 +241,51 @@ def interleave_rows(chans, interpret=None):
     )(*in2d)
 
 
+STK_BLK = 2048     # lanes per stack_rows grid step
+
+
+def _stack_kernel(*refs):
+    ins = refs[:-1]
+    out_ref = refs[-1]
+    k = len(ins)
+    pad = out_ref.shape[0] - k
+    blocks = [r[...] for r in ins]
+    if pad:
+        blocks.append(jnp.zeros((pad, out_ref.shape[1]), jnp.float32))
+    out_ref[...] = jnp.concatenate(blocks, axis=0)
+
+
+def stack_rows(chans, nch: int = NCH, interpret=None):
+    """k x [P] f32 channel arrays -> [nch, P] channel-major matrix (rows
+    k..nch-1 zeroed). XLA's stack emitter costs ms-class fixed overheads at
+    these shapes (NOTES.md exp_tilesort); this kernel streams k x [1, BLK]
+    blocks in and one [nch, BLK] block out. P must be a multiple of
+    STK_BLK."""
+    if interpret is None:
+        interpret = _interpret_default()
+    P = chans[0].shape[0]
+    k = len(chans)
+    assert k <= nch
+    if interpret:
+        mat = jnp.stack(chans, axis=0)
+        if k < nch:
+            mat = jnp.concatenate(
+                [mat, jnp.zeros((nch - k, P), jnp.float32)], axis=0
+            )
+        return mat
+    assert P % STK_BLK == 0, P
+    nb = P // STK_BLK
+    in2d = [c.reshape(1, P) for c in chans]
+    return pl.pallas_call(
+        _stack_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, STK_BLK), lambda b: (0, b))] * k,
+        out_specs=pl.BlockSpec((nch, STK_BLK), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((nch, P), jnp.float32),
+        interpret=interpret,
+    )(*in2d)
+
+
 def expand_rows(permat, offs_row, starts_q, total, capacity: int,
                 grid_x: int, sentinel: int, interpret=None):
     """permat: [16, Np] channel-major per-Gaussian rows, depth-sorted and
@@ -251,16 +307,17 @@ def expand_rows(permat, offs_row, starts_q, total, capacity: int,
             num_scalar_prefetch=2,
             grid=(nsteps,),
             in_specs=[
-                pl.BlockSpec(
-                    (NCH, permat.shape[1]), lambda b, q, s: (0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, offs_row.shape[1]), lambda b, q, s: (0, 0)
-                ),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec(
                 (NCH, RSUB * BSLOT), lambda b, q, s: (0, b)
             ),
+            scratch_shapes=[
+                pltpu.VMEM((NCH, permat.shape[1]), jnp.float32),
+                pltpu.VMEM((1, offs_row.shape[1]), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         )
         return pl.pallas_call(
             functools.partial(

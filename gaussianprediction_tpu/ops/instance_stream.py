@@ -149,19 +149,28 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     S = expand_pallas.ALIGN
     cap512 = ((capacity + S - 1) // S) * S
     qmax = max((N - 1) // W, 0)
-    Np = (qmax + 2) * W
+    # rounded up to the stack kernel's block so the [16, Np] permat is
+    # assembled by the streaming Pallas stack (the XLA stack emitter costs
+    # several ms at this shape); extra lanes carry HUGE offsets and are
+    # never selected
+    STK = expand_pallas.STK_BLK
+    Np = (((qmax + 2) * W + STK - 1) // STK) * STK
     pad = Np - N
     offs_row = jnp.concatenate(
         [offsets, jnp.full((pad,), expand_pallas.HUGE, jnp.int32)]
     )[None, :]
-    permat = jnp.stack(
-        srt[2:11] + (depth_s, offsets.astype(jnp.float32), x0f, y0f, rwf,
-                     gid_s.astype(jnp.float32), jnp.zeros_like(depth_s)),
-        axis=0,
-    )  # [16, N] channel-major
-    permat = jnp.concatenate(
-        [permat, jnp.zeros((16, pad), jnp.float32)], axis=1
-    )
+    padf = jnp.zeros((pad,), jnp.float32)
+
+    def padded(ch):
+        return jnp.concatenate([ch, padf])
+
+    permat = expand_pallas.stack_rows(
+        [padded(c) for c in srt[2:11]]
+        + [padded(depth_s), padded(offsets.astype(jnp.float32)),
+           padded(x0f), padded(y0f), padded(rwf),
+           padded(gid_s.astype(jnp.float32))],
+        nch=16, interpret=interpret,
+    )  # [16, Np] channel-major
     nb = cap512 // B
     block_starts = jnp.arange(nb, dtype=jnp.int32) * B
     g0 = jnp.maximum(
@@ -188,11 +197,16 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     x1 = x0 + rw
     y1 = y0 + rh
     one = jnp.where(rw * rh > 0, 1, 0)
-    grid = jnp.zeros((gy1, gx1), jnp.int32)
-    grid = grid.at[y0, x0].add(one, mode="drop")
-    grid = grid.at[y0, x1].add(-one, mode="drop")
-    grid = grid.at[y1, x0].add(-one, mode="drop")
-    grid = grid.at[y1, x1].add(one, mode="drop")
+    # ONE fused scatter-add of all 4N signed corner contributions (four
+    # separate 2-D scatters cost ~1 ms of per-call overhead each); rects
+    # are pre-clipped to the grid so every flat index is in bounds
+    cidx = jnp.concatenate(
+        [y0 * gx1 + x0, y0 * gx1 + x1, y1 * gx1 + x0, y1 * gx1 + x1]
+    )
+    cval = jnp.concatenate([one, -one, -one, one])
+    grid = jnp.zeros((gy1 * gx1,), jnp.int32).at[cidx].add(
+        cval, mode="drop"
+    ).reshape(gy1, gx1)
     counts_t = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
         :grid_y, :grid_x
     ].reshape(-1)                                  # [T]
