@@ -97,10 +97,32 @@ def main():
         * 0.2
     )
 
+    # Size the static instance buffer to THIS workload before compiling the
+    # measured step: every instance-stream cost (the value-carrying sorts,
+    # the expand kernel, the blend segments' padding) scales with the
+    # static capacity, and production runs size capacity per scene the same
+    # way (Trainer warns + callers re-jit on overflow). The probe is a tiny
+    # projection-only jit: n_total = sum of capped tile-rect areas.
+    from gaussianprediction_tpu.ops import instance_stream as IS
+    from gaussianprediction_tpu.ops import projection as PJ
+
+    def probe_total(xyz, scal, rot):
+        rotn = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+        proj = PJ.project_from_params(xyz, scal, rotn, cam, W, H)
+        x0, y0, rw, rh = IS._capped_rect(
+            proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
+        )
+        rw = jnp.where(proj.visible, rw, 0)
+        rh = jnp.where(proj.visible, rh, 0)
+        return jnp.sum(rw * rh)
+
+    n_probe = int(jax.jit(probe_total)(xyz, scal, rot))
+    mult = max(2, -(-int(n_probe * 1.2) // N))
+
     def loss(xyz, scal, rot, op, shs):
         out = R.render(
             xyz, scal, rot, op, shs, cam, W, H, jnp.zeros(3), sh_degree=3,
-            capacity_multiplier=10, interpret=interpret,
+            capacity_multiplier=mult, interpret=interpret,
             need_tidx=False,  # training-path render: tidx is eval-only
         )
         return jnp.mean(jnp.abs(out["render"] - 0.5)), (
@@ -153,6 +175,7 @@ def main():
             "width": W, "height": H, "n_gaussians": N,
             "ms_per_iter": round(dt * 1000, 2),
             "n_dropped": n_dropped,
+            "capacity_multiplier": mult,
             "n_instances": n_instances,
             "platform": jax.devices()[0].platform,
             "note": "fwd+bwd through the full differentiable render "

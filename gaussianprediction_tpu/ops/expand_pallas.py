@@ -54,7 +54,11 @@ STEP = BSLOT * SUB # instance slots per grid step
 # slice candidate windows in-VMEM — zero window DMAs. At 200k Gaussians
 # permat is 12.8 MB; the windowed fallback covers larger N.
 RES_MAX_BYTES = 14_800_000
-RSUB = 16          # sub-blocks per grid step in the resident kernel
+RSUB = 64          # sub-blocks per grid step in the resident kernel: grid
+                   # steps cost ~4.3 us fixed (E1 write-only bisect:
+                   # 4.25 ms at 977 steps), so the kernel loops RSUB
+                   # sub-blocks per step with lax.fori_loop (no unroll —
+                   # compile time stays flat in RSUB)
 ALIGN = BSLOT * max(SUB, RSUB)   # capacity rounding for both kernels
 WCAND = 128        # candidate-window width; 2 windows cover the <=129
                    # candidates a 128-slot sub-block can touch (every
@@ -178,8 +182,7 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
         pltpu.make_async_copy(pm_hbm, pm_vmem, sems.at[0]).wait()
         pltpu.make_async_copy(of_hbm, of_vmem, sems.at[1]).wait()
 
-    outs = []
-    for i in range(RSUB):
+    def body(i, carry):
         q = q_ref[b * RSUB + i]
         off0 = pl.multiple_of(q * WCAND, WCAND)
         offs_w = of_vmem[:, pl.ds(off0, 2 * WCAND)]
@@ -187,10 +190,12 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
         jcol = (b * RSUB + i) * BSLOT + jax.lax.broadcasted_iota(
             jnp.int32, (BSLOT, 1), 0
         )
-        outs.append(
+        out_ref[:, pl.ds(pl.multiple_of(i * BSLOT, BSLOT), BSLOT)] = (
             _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
         )
-    out_ref[...] = jnp.concatenate(outs, axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, RSUB, body, jnp.int32(0))
 
 
 ILV_BLK = 32768    # lanes per interleave grid step

@@ -197,16 +197,25 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     x1 = x0 + rw
     y1 = y0 + rh
     one = jnp.where(rw * rh > 0, 1, 0)
-    # ONE fused scatter-add of all 4N signed corner contributions (four
-    # separate 2-D scatters cost ~1 ms of per-call overhead each); rects
-    # are pre-clipped to the grid so every flat index is in bounds
+    # SORT-based signed histogram of the 4N corner contributions: a
+    # scatter-add of 4N values into a ~2.6k-entry grid is collision-bound
+    # (~9 ms measured — XLA serializes colliding updates; same pathology
+    # as the hash-grid table gradients), while a 2-op sort at 800k is
+    # ~1.5 ms. Sort (flat corner index, signed one), cumsum the signs, and
+    # take boundary differences at each grid cell's end (exclusive-prefix
+    # searchsorted over the sorted index array). Rects are pre-clipped to
+    # the grid so every flat index is in bounds.
     cidx = jnp.concatenate(
         [y0 * gx1 + x0, y0 * gx1 + x1, y1 * gx1 + x0, y1 * gx1 + x1]
     )
     cval = jnp.concatenate([one, -one, -one, one])
-    grid = jnp.zeros((gy1 * gx1,), jnp.int32).at[cidx].add(
-        cval, mode="drop"
-    ).reshape(gy1, gx1)
+    G = gy1 * gx1
+    sidx, sval = jax.lax.sort((cidx, cval), num_keys=1)
+    cs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sval)]
+    )
+    ends = jnp.searchsorted(sidx, jnp.arange(G + 1, dtype=jnp.int32))
+    grid = (cs[ends[1:]] - cs[ends[:-1]]).reshape(gy1, gx1)
     counts_t = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
         :grid_y, :grid_x
     ].reshape(-1)                                  # [T]
