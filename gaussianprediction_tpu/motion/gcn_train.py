@@ -158,6 +158,59 @@ def train_gcn(
     return params, bn_state, history
 
 
+def save_gcn_checkpoint(path: str, params, bn_state, cfg: GCNConfig,
+                        n_kpts: int, loss_history):
+    """Persist the trained predictor (params + BN state + config), twin of
+    the reference's torch.save(model.state_dict(), ckpt.pth)
+    (/root/reference/train_GCN.py:113-114). The config + n_kpts ride along
+    so `load_gcn_checkpoint` can rebuild the pytree template without the
+    caller re-deriving hyperparameters."""
+    import json
+
+    from gaussianprediction_tpu.train.checkpoint import _flatten
+
+    flat = _flatten({"params": params, "bn": bn_state})
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    flat["__gcn_meta__"] = np.array(json.dumps(
+        {**dataclasses.asdict(cfg), "n_kpts": int(n_kpts)}
+    ))
+    flat["__loss_history__"] = np.asarray(loss_history, np.float32)
+    np.savez(path, **flat)
+
+
+def load_gcn_checkpoint(path: str):
+    """Returns (params, bn_state, cfg, n_kpts, loss_history). The reload
+    twin of /root/reference/train_GCN.py:83 (`model.load_state_dict`):
+    rollout from a reloaded checkpoint is bit-identical to the in-process
+    rollout (tests/test_motion.py)."""
+    import json
+
+    from gaussianprediction_tpu.models import gcn as GCN_
+    from gaussianprediction_tpu.train.checkpoint import _unflatten
+
+    with np.load(path, allow_pickle=False) as f:
+        flat = {k: f[k] for k in f.files}
+    meta = json.loads(str(flat.pop("__gcn_meta__")))
+    hist = [float(x) for x in flat.pop("__loss_history__")]
+    n_kpts = meta.pop("n_kpts")
+    cfg = GCNConfig(**meta)
+    t_params, t_bn = GCN_.init_gcn_xyzr(
+        jax.random.PRNGKey(0), cfg.input_size, cfg.linear_size,
+        cfg.output_size, cfg.num_stage, n_kpts, cfg.no_mapping,
+    )
+    params = _unflatten(
+        {k[len("params/"):]: v for k, v in flat.items()
+         if k.startswith("params/")}, t_params,
+    )
+    bn_state = _unflatten(
+        {k[len("bn/"):]: v for k, v in flat.items() if k.startswith("bn/")},
+        t_bn,
+    )
+    params = jax.tree.map(jnp.asarray, params)
+    bn_state = jax.tree.map(jnp.asarray, bn_state)
+    return params, bn_state, cfg, n_kpts, hist
+
+
 def rollout(
     params, bn_state, cfg: GCNConfig, xyz_window, rot_window, frames: int,
 ):

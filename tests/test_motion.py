@@ -7,7 +7,8 @@ import pytest
 from gaussianprediction_tpu.models import gcn as GCN
 from gaussianprediction_tpu.motion.dataset import TrajectoryData, Windows, build_windows
 from gaussianprediction_tpu.motion.gcn_train import (
-    GCNConfig, gcn_forward, rollout, train_gcn,
+    GCNConfig, gcn_forward, load_gcn_checkpoint, rollout,
+    save_gcn_checkpoint, train_gcn,
 )
 
 
@@ -118,6 +119,34 @@ class TestGCNTraining:
         err = float(jnp.mean(jnp.linalg.norm(
             xo - jnp.asarray(w.xyz_gt[:4]), axis=-1)))
         assert err < 0.1
+
+    def test_checkpoint_roundtrip_rollout_bitexact(self, tmp_path):
+        """Reloaded GCN (reference train_GCN.py:83,113-114 twin) must roll
+        out bit-identically to the in-process model."""
+        xyz, rot = sine_trajectories(n_t=30, n_kpts=3, seed=7)
+        traj = TrajectoryData(
+            kpts_xyz_train=xyz, kpts_r_train=rot,
+            kpts_xyz_test=xyz[:0], kpts_r_test=rot[:0],
+            train_times=[], test_times=[], n_kpts=3,
+        )
+        w = build_windows(traj, 8, 1, "train")
+        cfg = GCNConfig(input_size=8, output_size=1, linear_size=16,
+                        num_stage=1, epochs=3, batch_size=8, noise_init=0.0)
+        params, bn, hist = train_gcn(w, 3, cfg, verbose=False)
+        path = str(tmp_path / "gcn_ckpt.npz")
+        save_gcn_checkpoint(path, params, bn, cfg, 3, hist)
+
+        p2, bn2, cfg2, n_kpts2, hist2 = load_gcn_checkpoint(path)
+        assert cfg2 == cfg and n_kpts2 == 3
+        np.testing.assert_allclose(hist2, hist, rtol=1e-6)
+        for a, b in zip(jax.tree.leaves((params, bn)),
+                        jax.tree.leaves((p2, bn2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        k1, kr1 = rollout(params, bn, cfg, xyz[-8:], rot[-8:], frames=6)
+        k2, kr2 = rollout(p2, bn2, cfg2, xyz[-8:], rot[-8:], frames=6)
+        np.testing.assert_array_equal(k1, k2)
+        np.testing.assert_array_equal(kr1, kr2)
 
     def test_rollout_shapes_and_stability(self):
         xyz, rot = sine_trajectories(n_t=30, n_kpts=3, seed=6)

@@ -47,6 +47,9 @@ def main():
     p.add_argument("--noise_init", type=float, default=0.1)
     p.add_argument("--noise_step", type=int, default=100)
     p.add_argument("--predict_more", action="store_true")
+    p.add_argument("--load", default=None, metavar="GCN_CKPT_NPZ",
+                   help="reload a trained GCN from gcn_ckpt.npz instead of "
+                        "training (reference train_GCN.py:83)")
     p.add_argument("--metrics", action="store_true")
     p.add_argument("--frames", type=int, default=150)
     p.add_argument("--cam_id", type=int, default=0)
@@ -62,7 +65,8 @@ def main():
         build_windows, extract_trajectories, times_from_scene,
     )
     from gaussianprediction_tpu.motion.gcn_train import (
-        GCNConfig, rollout, train_gcn,
+        GCNConfig, load_gcn_checkpoint, rollout, save_gcn_checkpoint,
+        train_gcn,
     )
     from gaussianprediction_tpu.train.loop import Trainer
 
@@ -96,26 +100,38 @@ def main():
     print(f"{len(windows.xyz_inputs)} training windows over "
           f"{traj.n_kpts} keypoints")
 
-    gcfg = GCNConfig(
-        input_size=args.input_size, output_size=args.output_size,
-        linear_size=args.linear_size, num_stage=args.num_stage,
-        epochs=args.epoch, batch_size=args.batch_size,
-        noise_init=args.noise_init, noise_step=args.noise_step,
-        norm_rotation=cfg.model.norm_rotation,
-    )
-    params, bn, hist = train_gcn(windows, traj.n_kpts, gcfg)
     out_dir = os.path.join(args.model_path, args.exp_name)
     os.makedirs(out_dir, exist_ok=True)
-    np.savez(os.path.join(out_dir, "gcn_ckpt.npz"),
-             loss_history=np.asarray(hist))
-    print(f"GCN trained: loss {hist[0]:.5f} -> {hist[-1]:.5f}")
+    if args.load:
+        params, bn, gcfg, n_kpts, hist = load_gcn_checkpoint(args.load)
+        assert n_kpts == traj.n_kpts, (
+            f"checkpoint was trained with {n_kpts} keypoints, "
+            f"scene has {traj.n_kpts}"
+        )
+        print(f"GCN reloaded from {args.load} "
+              f"(final train loss {hist[-1]:.5f})" if hist else
+              f"GCN reloaded from {args.load}")
+    else:
+        gcfg = GCNConfig(
+            input_size=args.input_size, output_size=args.output_size,
+            linear_size=args.linear_size, num_stage=args.num_stage,
+            epochs=args.epoch, batch_size=args.batch_size,
+            noise_init=args.noise_init, noise_step=args.noise_step,
+            norm_rotation=cfg.model.norm_rotation,
+        )
+        params, bn, hist = train_gcn(windows, traj.n_kpts, gcfg)
+        save_gcn_checkpoint(
+            os.path.join(out_dir, "gcn_ckpt.npz"), params, bn, gcfg,
+            traj.n_kpts, hist,
+        )
+        print(f"GCN trained: loss {hist[0]:.5f} -> {hist[-1]:.5f}")
 
     bg = (np.ones(3, np.float32) if cfg.model.white_background
           else np.zeros(3, np.float32))
     if args.predict_more:
         kpts, kpts_r = rollout(
-            params, bn, gcfg, traj.kpts_xyz_train[-args.input_size:],
-            traj.kpts_r_train[-args.input_size:], frames=args.frames,
+            params, bn, gcfg, traj.kpts_xyz_train[-gcfg.input_size:],
+            traj.kpts_r_train[-gcfg.input_size:], frames=args.frames,
         )
         frames = R.render_kpts(
             trainer.state, cfg, trainer.iteration, scene.test_cameras, bg,
@@ -131,8 +147,8 @@ def main():
     if args.metrics:
         n = len(scene.test_cameras)
         kpts, kpts_r = rollout(
-            params, bn, gcfg, traj.kpts_xyz_train[-args.input_size:],
-            traj.kpts_r_train[-args.input_size:], frames=n,
+            params, bn, gcfg, traj.kpts_xyz_train[-gcfg.input_size:],
+            traj.kpts_r_train[-gcfg.input_size:], frames=n,
         )
         mdir = os.path.join(out_dir, "metrics_predicted")
         frames = R.render_kpts(
