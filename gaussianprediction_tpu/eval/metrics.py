@@ -63,10 +63,26 @@ def evaluate_pairs(
     }
 
 
+def write_error_maps(renders, gts, deltas_dir: str):
+    """Per-image |render - gt| maps, twin of /root/reference/metrics.py:146-148
+    (abs error x 255 saved as deltas/{idx:05d}.jpg)."""
+    import imageio.v2 as imageio
+
+    os.makedirs(deltas_dir, exist_ok=True)
+    for idx, (r, g) in enumerate(zip(renders, gts)):
+        err = np.abs(np.asarray(r, np.float32) - np.asarray(g, np.float32))
+        u8 = (np.clip(err, 0.0, 1.0) * 255).astype(np.uint8)
+        path = os.path.join(deltas_dir, f"{idx:05d}.jpg")
+        try:
+            imageio.imwrite(path, u8)
+        except (ValueError, OSError):  # no JPEG plugin in this environment
+            imageio.imwrite(os.path.join(deltas_dir, f"{idx:05d}.png"), u8)
+
+
 def evaluate_dirs(renders_dir: str, gt_dir: str, out_dir: Optional[str] = None,
                   resize_ratio: float = 1.0) -> Dict:
     """evaluate() twin (metrics.py:113-178): read two image dirs, write
-    results.json / per_view.json (+ error maps) next to them."""
+    results.json / per_view.json + per-image error maps next to them."""
     from gaussianprediction_tpu.data.image_io import load_image
 
     out_dir = out_dir or os.path.dirname(renders_dir.rstrip("/"))
@@ -94,6 +110,7 @@ def evaluate_dirs(renders_dir: str, gt_dir: str, out_dir: Optional[str] = None,
             )
         gts.append(img)
     results = evaluate_pairs(renders, gts, names=rnames)
+    write_error_maps(renders, gts, os.path.join(out_dir, "deltas"))
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results["mean"], f, indent=2)
     with open(os.path.join(out_dir, "per_view.json"), "w") as f:

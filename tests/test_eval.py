@@ -42,6 +42,19 @@ class TestMetrics:
         res = M.evaluate_dirs(str(rd), str(gd))
         assert os.path.exists(tmp_path / "results.json")
         assert res["mean"]["PSNR"] > 40  # 8-bit quantized identity
+        # per-image error maps (reference metrics.py:146-148)
+        deltas = sorted(os.listdir(tmp_path / "deltas"))
+        assert len(deltas) == 2 and deltas[0].startswith("00000")
+
+    def test_error_maps_values(self, tmp_path):
+        r = [np.full((8, 8, 3), 0.75, np.float32)]
+        g = [np.full((8, 8, 3), 0.25, np.float32)]
+        M.write_error_maps(r, g, str(tmp_path / "deltas"))
+        import imageio.v2 as imageio
+        (name,) = os.listdir(tmp_path / "deltas")
+        img = imageio.imread(str(tmp_path / "deltas" / name))
+        # |0.75-0.25|*255 = 127.5 -> 127/128 modulo jpg compression
+        assert abs(float(img.mean()) - 127.5) < 3.0
 
     def test_results_table(self, tmp_path):
         import json
