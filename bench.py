@@ -158,6 +158,13 @@ def main():
     _ = float(l)
     n_dropped = int(nd)
     n_instances = int(ni)
+    # the probe sizes capacity >= 1.2 * n_total, which must guarantee an
+    # exact (drop-free) render — a dropped instance would make the timed
+    # workload smaller than the nominal one (ADVICE r2)
+    assert n_dropped == 0, (
+        f"probe-sized capacity dropped {n_dropped} instances "
+        f"(mult={mult}, n_instances={n_instances})"
+    )
 
     t0 = time.time()
     for _ in range(iters):

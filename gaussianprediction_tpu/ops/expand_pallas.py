@@ -53,13 +53,20 @@ STEP = BSLOT * SUB # instance slots per grid step
 # the offs row fit comfortably in VMEM (~16 MB/core), load them ONCE and
 # slice candidate windows in-VMEM — zero window DMAs. At 200k Gaussians
 # permat is 12.8 MB; the windowed fallback covers larger N.
-RES_MAX_BYTES = 14_800_000
 RSUB = 64          # sub-blocks per grid step in the resident kernel: grid
                    # steps cost ~4.3 us fixed (E1 write-only bisect:
                    # 4.25 ms at 977 steps), so the kernel loops RSUB
                    # sub-blocks per step with lax.fori_loop (no unroll —
                    # compile time stays flat in RSUB)
 ALIGN = BSLOT * max(SUB, RSUB)   # capacity rounding for both kernels
+# Resident-path budget derived from the VMEM envelope rather than pinned by
+# hand (ADVICE r2): VMEM minus the double-buffered [16, RSUB*BSLOT] output
+# blocks minus headroom for the per-sub-block temporaries (one-hot compares,
+# bf16 splits, concatenates — all [<=16, 256]-class, well under the slack).
+_VMEM_BYTES = 16 * 1024 * 1024
+_OUT_BUF_BYTES = 2 * 16 * RSUB * BSLOT * 4   # NCH defined below = 16
+_TEMP_HEADROOM = 1_500_000
+RES_MAX_BYTES = _VMEM_BYTES - _OUT_BUF_BYTES - _TEMP_HEADROOM
 WCAND = 128        # candidate-window width; 2 windows cover the <=129
                    # candidates a 128-slot sub-block can touch (every
                    # compacted candidate owns >= 1 slot), with exactly no

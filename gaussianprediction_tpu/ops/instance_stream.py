@@ -14,9 +14,12 @@ re-expressed around one value-carrying sort:
 3. slot->Gaussian expansion + per-slot tile keys via the Pallas one-hot-
    matmul kernel (ops/expand_pallas.py) — no scatter, no gather; emits the
    [16, P] channel-major SoA directly;
-4. per-tile counts via the 2D CORNER-DIFFERENCE histogram (4 scatter-adds
-   of N ones into the (gy+1, gx+1) grid + 2D cumsum) -> exact padded
-   per-tile segment starts with NO searchsorted/segment_sum;
+4. per-tile counts via the 2D CORNER-DIFFERENCE histogram, built WITHOUT
+   scatter-adds (collision-bound on TPU): sort the 4N signed corner
+   contributions by flat grid index, cumsum the signs, difference the
+   cumsum at each cell's boundary (one searchsorted over the sorted
+   indices), then 2D-cumsum the (gy+1, gx+1) grid -> exact padded
+   per-tile segment starts;
 5. CHUNK-alignment via DUMMY ENTRIES: for each tile, (padded-count) dummy
    rows keyed by the tile id are appended after the reals, so the single
    stable sort by tile id lands every tile's segment at its padded start —
