@@ -95,6 +95,7 @@ class Trainer:
         self.width, self.height = cam0.width, cam0.height
         self._steps: Dict = {}
         self._history = []
+        self.tb = None  # TensorBoard event writer, created in run()
 
         # jitted host-event helpers (cfg/extent closed over: configs are
         # mutable dataclasses, not hashable static args)
@@ -306,6 +307,34 @@ class Trainer:
                     f"L1 {report[f'{name}_l1']:.5f} "
                     f"PSNR {report[f'{name}_psnr']:.2f}"
                 )
+            if self.tb is not None:
+                self.tb.add_scalar(
+                    f"{name}/loss_viewpoint_l1", report[f"{name}_l1"],
+                    iteration,
+                )
+                self.tb.add_scalar(
+                    f"{name}/loss_viewpoint_psnr", report[f"{name}_psnr"],
+                    iteration,
+                )
+                if renders:
+                    self.tb.add_image(
+                        f"{name}/render", np.clip(renders[0], 0, 1),
+                        iteration,
+                    )
+        if self.tb is not None:
+            # opacity histogram + total point count, the reference's
+            # per-test-iteration state summaries (train.py:283-285)
+            alive = np.asarray(self.state.alive)
+            opac = 1.0 / (1.0 + np.exp(
+                -np.asarray(self.state.params["opacity"]).reshape(-1)
+            ))
+            self.tb.add_histogram(
+                "scene/opacity_histogram", opac[alive], iteration
+            )
+            self.tb.add_scalar(
+                "total_points", float(alive.sum()), iteration
+            )
+            self.tb.flush()
         self._history.append({"eval": report})
         return report
 
@@ -388,7 +417,12 @@ class Trainer:
         cfg = self.cfg
         iterations = iterations or cfg.opt.iterations
         model_path = model_path or cfg.model_path
+        if model_path and self.tb is None:
+            from gaussianprediction_tpu.utils.tb_writer import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(model_path, "tb"))
         t0 = time.time()
+        t_last = t0
         iteration = self.iteration
         batch = max(1, cfg.train.batch)
         # profiling hooks (SURVEY §5.1): trace profile_steps device steps
@@ -455,13 +489,29 @@ class Trainer:
                         f"images and gradients are biased. Raise "
                         f"cfg.model.capacity_multiplier."
                     )
+                now = time.time()
+                iter_ms = (
+                    (now - t_last) * 1000.0
+                    / max(iteration - getattr(self, "_last_t_iter", 0), 1)
+                )
+                t_last = now
+                self._last_t_iter = iteration
                 entry = {
                     "iter": iteration, "loss": loss, "psnr": p,
                     "n_gaussians": int(self.state.n_alive()),
                     "n_kpts": int(self.state.n_kpts()),
-                    "elapsed": time.time() - t0,
+                    "elapsed": now - t0,
                 }
                 self._history.append(entry)
+                if self.tb is not None:
+                    # the reference's per-iteration scalar set
+                    # (train.py:254-258), at log_every cadence
+                    self.tb.add_scalar("train_loss_patches/total_loss",
+                                       loss, iteration)
+                    self.tb.add_scalar("train/psnr", p, iteration)
+                    self.tb.add_scalar("iter_time", iter_ms, iteration)
+                    self.tb.add_scalar("total_points",
+                                       entry["n_gaussians"], iteration)
                 if not self.quiet:
                     print(
                         f"[{iteration}/{iterations}] loss {loss:.5f} "
@@ -489,6 +539,8 @@ class Trainer:
             os.makedirs(model_path, exist_ok=True)
             with open(os.path.join(model_path, "history.json"), "w") as f:
                 json.dump(self._history, f)
+        if self.tb is not None:
+            self.tb.flush()
         return self._history
 
     def _save_train_images(self, model_path: str, iteration: int):
