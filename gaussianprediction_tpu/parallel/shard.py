@@ -63,12 +63,22 @@ def make_sharded_train_step(
     band = -(-grid_y // n_tile)                 # tile rows per device
     pad_h = band * n_tile * TILE                # band-padded frame height
 
-    def band_loss(params, dummy, state, cam, gt_full, t, iteration, key):
+    def band_loss(params, dummy, state, cam, gt_full, t, iteration, key,
+                  active_deg):
         """Runs per-device inside shard_map; returns replicated loss."""
         ty0 = jax.lax.axis_index("tile") * band
         out = deform_for_stage(params, cfg, state, t, iteration, key, stage)
+        shs = get_shs(params)
+        if active_deg is not None:
+            # SH warm-up by coefficient zeroing under the static max-degree
+            # basis (same trick as train/step.py render_at_time): one
+            # compiled sharded step per stage instead of one per degree
+            kidx = jnp.arange(shs.shape[-1])
+            shs = jnp.where(
+                kidx[None, None, :] < (active_deg + 1) ** 2, shs, 0.0
+            )
         pkg = rasterize.render(
-            out.xyz, out.scaling, out.rotation, out.opacity, get_shs(params),
+            out.xyz, out.scaling, out.rotation, out.opacity, shs,
             cam, width, height, bg, sh_degree=sh_degree, alive=state.alive,
             means2d_dummy=dummy, interpret=interpret,
             capacity_multiplier=capacity_multiplier,
@@ -101,7 +111,9 @@ def make_sharded_train_step(
         return jax.tree.map(lambda x: x[0], cams)
 
     def step(state: GaussianState, opt_state, cams, gts, times, iteration,
-             key):
+             key, active_deg=None):
+        if active_deg is None:  # full-degree rendering (masking is a no-op)
+            active_deg = jnp.int32(sh_degree)
         k_noise, k_time = jax.random.split(key)
         # independent time-noise draw per data-parallel camera (the
         # reference draws fresh noise per accumulated batch member,
@@ -115,16 +127,16 @@ def make_sharded_train_step(
 
         def inner(params, dummy):
             # per-device camera: strip the leading batch axis inside the map
-            def f(params, dummy, state, cam, gt, t, it, key):
+            def f(params, dummy, state, cam, gt, t, it, key, deg):
                 return band_loss(
                     params, dummy, state, unbatched_cam(cam), gt[0], t[0],
-                    it, key,
+                    it, key, deg,
                 )
             sm = shard_map(
                 f, mesh=mesh,
                 in_specs=(P(), P(), P(), jax.tree.map(
                     lambda _: P("data"), cams), P("data"), P("data"),
-                    P(), P()),
+                    P(), P(), P()),
                 out_specs=(P(), {
                     "l1": P(), "psnr": P(), "radii": P(),
                     "visibility": P(), "n_dropped": P(),
@@ -132,7 +144,7 @@ def make_sharded_train_step(
                 check_vma=False,
             )
             return sm(params, dummy, state, cams, gts, times, iteration,
-                      k_noise)
+                      k_noise, active_deg)
 
         (loss, aux), (grads, vs_grads) = jax.value_and_grad(
             inner, argnums=(0, 1), has_aux=True

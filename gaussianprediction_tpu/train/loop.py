@@ -68,7 +68,8 @@ class Trainer:
 
     def __init__(self, cfg: Config, scene: Scene, seed: Optional[int] = None,
                  interpret: Optional[bool] = None, log_every: int = 100,
-                 quiet: bool = False, steps_per_call: int = 1):
+                 quiet: bool = False, steps_per_call: int = 1,
+                 n_devices: int = 1, n_data: int = 1):
         self.cfg = cfg
         self.scene = scene
         self.interpret = interpret
@@ -78,6 +79,26 @@ class Trainer:
         # amortizing the per-call host round-trip (train/step.py
         # make_train_step_multi); chunks never cross host events.
         self.steps_per_call = steps_per_call
+        # n_devices > 1 trains through the sharded ('data','tile') mesh step
+        # (parallel/shard.py, SURVEY.md §5.8): n_data camera groups x
+        # (n_devices/n_data) tile bands. Host events (densify, keypoint
+        # init, checkpoints) operate on the replicated state unchanged.
+        self.mesh = None
+        self.n_data = n_data
+        if n_devices > 1:
+            from gaussianprediction_tpu.parallel.mesh import make_mesh
+
+            assert n_devices % n_data == 0, (n_devices, n_data)
+            # honor a CPU pin (GPT_FORCE_CPU / tests): the default-device
+            # override means "train on the virtual CPU mesh", even though
+            # the axon plugin still registers a TPU device
+            devices = None
+            pinned = jax.config.jax_default_device
+            if pinned is not None and pinned.platform == "cpu":
+                devices = jax.devices("cpu")
+            self.mesh = make_mesh(
+                n_data=n_data, n_tile=n_devices // n_data, devices=devices,
+            )
         seed = cfg.train.seed if seed is None else seed
         self.key = jax.random.PRNGKey(2024 * seed)
         self.key, k_init = jax.random.split(self.key)
@@ -157,6 +178,47 @@ class Trainer:
                 interpret=self.interpret,
             )
         return self._steps[key]
+
+    def _sharded_step_fn(self, stage: int):
+        from gaussianprediction_tpu.parallel.shard import (
+            make_sharded_train_step,
+        )
+
+        key = ("sharded", stage)
+        if key not in self._steps:
+            self._steps[key] = make_sharded_train_step(
+                self.cfg, stage, self.width, self.height,
+                float(self.scene.cameras_extent), self.cfg.model.sh_degree,
+                self.scene.total_frame, self.bg, self.mesh,
+                interpret=self.interpret,
+                capacity_multiplier=self.cfg.model.capacity_multiplier,
+            )[0]
+        return self._steps[key]
+
+    def train_one_sharded(self, iteration: int) -> Dict:
+        """One sharded step: n_data cameras (gradient-accumulated across the
+        'data' axis), each frame tile-band-sharded across 'tile'."""
+        cfg = self.cfg
+        if iteration % 1000 == 0 and self.active_sh_degree < cfg.model.sh_degree:
+            self.active_sh_degree += 1
+        self._maybe_stage_transition(iteration)
+        stage = stage_of(cfg, iteration)
+        cams = [self.scene.next_train_camera() for _ in range(self.n_data)]
+        cam_batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[c.to_device_dict() for c in cams],
+        )
+        gts = jnp.stack([jnp.asarray(c.load_image()) for c in cams])
+        times = jnp.asarray([c.time for c in cams], jnp.float32)
+        self.key, k_step = jax.random.split(self.key)
+        step = self._sharded_step_fn(stage)
+        self.state, self.opt_state, metrics = step(
+            self.state, self.opt_state, cam_batch, gts, times,
+            jnp.int32(iteration), k_step, jnp.int32(self.active_sh_degree),
+        )
+        self._last_cam = cams[-1]
+        self._densification(iteration, stage)
+        return metrics
 
     def _multi_step_fn(self, stage: int, k: int):
         from gaussianprediction_tpu.train.step import make_train_step_multi
@@ -442,7 +504,10 @@ class Trainer:
                 jax.profiler.start_trace(prof_dir)
                 profiling = True
                 prof_end = a + prof_n - 1
-            if batch > 1:
+            if self.mesh is not None:
+                metrics = self.train_one_sharded(a)
+                iteration = a
+            elif batch > 1:
                 b = self._chunk_end(a, iterations, span=batch)
                 if b - a + 1 == batch:
                     metrics = self.train_batch(a, b)

@@ -123,6 +123,33 @@ class TestShardedStep:
             np.asarray(s1.xyz_gradient_accum), atol=1e-5,
         )
 
+    def test_trainer_n_devices_matches_single(self):
+        """The CLI-reachable multi-chip path (Trainer(n_devices=8)) trains
+        and matches single-device losses step for step (VERDICT r2 #3)."""
+        if len(jax.devices("cpu")) < 8:
+            pytest.skip("needs 8 cpu devices")
+        from gaussianprediction_tpu.data.scene import (
+            Scene, synthetic_scene_info,
+        )
+        from gaussianprediction_tpu.train.loop import Trainer
+
+        cfg = get_preset("test")
+        cfg.train.jointly_iteration = 1000  # warm-up only
+        cfg.opt.iterations = 6
+        cfg.train.use_time_decay = False
+        info = synthetic_scene_info(
+            n_points=64, n_cams=4, n_test=0, width=32, height=32,
+            interpret=True,
+        )
+        losses = {}
+        for nd in (1, 8):
+            tr = Trainer(cfg, Scene(info, seed=3), interpret=True,
+                         quiet=True, log_every=1, n_devices=nd)
+            ms = [tr.train_one_sharded(i) if nd > 1 else tr.train_one(i)
+                  for i in range(1, 7)]
+            losses[nd] = [float(m["loss"]) for m in ms]
+        np.testing.assert_allclose(losses[8], losses[1], rtol=2e-4)
+
     def test_data_parallel_runs(self):
         if len(jax.devices("cpu")) < 8:
             pytest.skip("needs 8 cpu devices")

@@ -58,7 +58,15 @@ def build_parser():
                         "fast path (identical convergence in the synthetic "
                         "A/B, ~2.7x faster stage-2 steps on TPU)")
     p.add_argument("--n_devices", type=int, default=1,
-                   help=">1 enables the sharded multi-chip train path")
+                   help=">1 enables the sharded multi-chip train path "
+                        "(('data','tile') mesh, parallel/shard.py)")
+    p.add_argument("--n_data", type=int, default=1,
+                   help="data-parallel camera groups within --n_devices "
+                        "(must divide it); the rest is tile-band sharding")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help=">1 scans K iterations per device invocation, "
+                        "amortizing the per-call host round-trip (single-"
+                        "device path only)")
     p.add_argument("--profile_steps", type=int, default=None,
                    help="trace this many steps with jax.profiler into "
                         "<model_path>/profile")
@@ -145,7 +153,13 @@ def main():
         f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} test "
         f"cameras, extent {scene.cameras_extent:.3f}"
     )
-    trainer = Trainer(cfg, scene)
+    trainer = Trainer(
+        cfg, scene, n_devices=args.n_devices, n_data=args.n_data,
+        steps_per_call=args.steps_per_call,
+    )
+    if args.n_devices > 1:
+        print(f"multi-chip: {args.n_devices} devices "
+              f"({args.n_data} data x {args.n_devices // args.n_data} tile)")
     if args.start_checkpoint:
         trainer.load_checkpoint(args.start_checkpoint)
         print(f"resumed from {args.start_checkpoint} @ {trainer.iteration}")
