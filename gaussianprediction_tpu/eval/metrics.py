@@ -57,8 +57,18 @@ def evaluate_pairs(
         vals = [v for v in d.values() if v is not None]
         return float(np.mean(vals)) if vals else None
 
+    mean = {m: mean_of(per[m]) for m in per}
+    if lpips_fn is None and compute_lpips:
+        # never leave LPIPS silently null: the architecture is implemented
+        # (eval/lpips.py) but pretrained VGG/Alex weights cannot be
+        # downloaded in an offline environment — README "LPIPS weights"
+        mean["LPIPS-note"] = (
+            "LPIPS unavailable: set GPT_LPIPS_WEIGHTS to a weights npz "
+            "(tools/export_lpips_npz.py; needs torchvision once, offline "
+            "environments cannot fetch the pretrained backbones)"
+        )
     return {
-        "mean": {m: mean_of(per[m]) for m in per},
+        "mean": mean,
         "per_view": per,
     }
 
