@@ -108,7 +108,7 @@ def main():
 
     def probe_total(xyz, scal, rot):
         rotn = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-        proj = PJ.project_from_params(xyz, scal, rotn, cam, W, H)
+        proj = PJ.project_from_params(xyz, scal, rotn, cam, W, H, opacity=op)
         x0, y0, rw, rh = IS._capped_rect(
             proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
         )

@@ -89,11 +89,26 @@ def project_gaussians(
     width: int,
     height: int,
     alive=None,
+    opacity=None,
 ) -> Projected:
     """Project Gaussians into screen space and compute tile footprints.
 
     `alive` is the static-capacity validity mask (SURVEY.md §5.8): dead slots
     get radius 0 and are never binned. width/height are static Python ints.
+
+    `opacity` (activated, [N] or [N,1]; pass stop_gradient'd values) enables
+    EXACT-SUPPORT tile rects: the blend kernel zeroes every contribution
+    with alpha = op*exp(power) < 1/255 (rasterize_pallas.ALPHA_MIN, matching
+    renderCUDA), so any pixel outside the ellipse {d: dᵀΣ⁻¹d = 2·ln(255·op)}
+    contributes exactly 0 and can be excluded from binning bit-exactly. The
+    returned rect is the intersection of that ellipse's axis-aligned
+    bounding box (half-extents sqrt(τ·Σxx), sqrt(τ·Σyy)) with the
+    reference's 3σ circle rect — never larger than the reference's support,
+    and identical rendered output. Anisotropic and low-opacity Gaussians
+    shrink dramatically (τ < 9 below op≈0.353; Σxx ≤ λ1 always), which cuts
+    every instance-count-proportional cost in the stream and blend stages.
+    `radius` and `visible` keep the reference's circle semantics so
+    densification statistics are unchanged.
     """
     N = xyz.shape[0]
     focal_x = width / (2.0 * tanfovx)
@@ -130,14 +145,75 @@ def project_gaussians(
     grid_y = (height + TILE - 1) // TILE
     # getRect: min = clamp((p - r) / TILE), max = clamp((p + r + TILE - 1)/TILE)
     r = radius_f
+    if opacity is not None:
+        # exact-support per-axis extents (see docstring): ceil gives >= 1px
+        # slack over the continuous bound, far beyond f32 rounding wobble
+        op = jnp.clip(opacity.reshape(-1), 0.0, 1.0)
+        tau = jnp.maximum(2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-12)), 0.0)
+        rx = jnp.ceil(jnp.minimum(jnp.sqrt(tau * cov2d[:, 0]), radius_f))
+        ry = jnp.ceil(jnp.minimum(jnp.sqrt(tau * cov2d[:, 2]), radius_f))
+        # op <= 1/255: no pixel can reach ALPHA_MIN -> empty rect (the
+        # Gaussian stays `visible` so densify stats match the reference)
+        rx = jnp.where(tau > 0.0, rx, -float(TILE))
+        ry = jnp.where(tau > 0.0, ry, -float(TILE))
+    else:
+        rx = r
+        ry = r
     tmin = jnp.stack(
+        [
+            jnp.clip(((mean2d[:, 0] - rx) / TILE).astype(jnp.int32), 0, grid_x),
+            jnp.clip(((mean2d[:, 1] - ry) / TILE).astype(jnp.int32), 0, grid_y),
+        ],
+        axis=-1,
+    )
+    if opacity is not None:
+        # exclusive tile max = floor((p + r)/TILE) + 1: covers the last
+        # pixel floor(p + r) exactly. (The reference's (p + r + TILE-1)/TILE
+        # form under-counts when p + r lands in a tile's final pixel —
+        # harmless slack for its conservative circle radii, wrong for
+        # exact-support extents.) Clamped below to the reference circle
+        # rect so the tight rect is always a SUBSET of reference behavior.
+        tmax = jnp.stack(
+            [
+                jnp.clip(
+                    jnp.floor(
+                        (mean2d[:, 0] + rx) / TILE
+                    ).astype(jnp.int32) + 1,
+                    0, grid_x,
+                ),
+                jnp.clip(
+                    jnp.floor(
+                        (mean2d[:, 1] + ry) / TILE
+                    ).astype(jnp.int32) + 1,
+                    0, grid_y,
+                ),
+            ],
+            axis=-1,
+        )
+    else:
+        tmax = jnp.stack(
+            [
+                jnp.clip(
+                    ((mean2d[:, 0] + rx + TILE - 1) / TILE).astype(jnp.int32),
+                    0, grid_x,
+                ),
+                jnp.clip(
+                    ((mean2d[:, 1] + ry + TILE - 1) / TILE).astype(jnp.int32),
+                    0, grid_y,
+                ),
+            ],
+            axis=-1,
+        )
+    # visibility from the reference's circle rect (independent of the
+    # exact-support shrink, so radii/visibility_filter stats are unchanged)
+    tmin_v = jnp.stack(
         [
             jnp.clip(((mean2d[:, 0] - r) / TILE).astype(jnp.int32), 0, grid_x),
             jnp.clip(((mean2d[:, 1] - r) / TILE).astype(jnp.int32), 0, grid_y),
         ],
         axis=-1,
     )
-    tmax = jnp.stack(
+    tmax_v = jnp.stack(
         [
             jnp.clip(
                 ((mean2d[:, 0] + r + TILE - 1) / TILE).astype(jnp.int32),
@@ -150,12 +226,20 @@ def project_gaussians(
         ],
         axis=-1,
     )
-    tiles_touched = (tmax[:, 0] - tmin[:, 0]) * (tmax[:, 1] - tmin[:, 1])
+    tiles_touched = (tmax_v[:, 0] - tmin_v[:, 0]) * (
+        tmax_v[:, 1] - tmin_v[:, 1]
+    )
 
     visible = in_front & det_ok & (tiles_touched > 0)
     if alive is not None:
         visible = visible & alive
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    if opacity is not None:
+        # subset guarantee vs the reference circle rect (bit-parity), and
+        # empty exact-support rects collapse to zero area
+        tmax = jnp.minimum(tmax, tmax_v)
+        tmin = jnp.maximum(tmin, tmin_v)
+    tmax = jnp.maximum(tmax, tmin)
     return Projected(
         mean2d=mean2d,
         conic=conic,
@@ -168,10 +252,12 @@ def project_gaussians(
 
 
 def project_from_params(xyz, scaling, rotation, cam, width, height,
-                        scaling_modifier=1.0, alive=None) -> Projected:
+                        scaling_modifier=1.0, alive=None,
+                        opacity=None) -> Projected:
     """Convenience wrapper: activation'd scale/rot -> covariance -> project."""
     cov6 = covariance_from_scaling_rotation(scaling, rotation, scaling_modifier)
     return project_gaussians(
         xyz, cov6, cam["world_view"], cam["full_proj"],
         cam["tanfovx"], cam["tanfovy"], width, height, alive=alive,
+        opacity=opacity,
     )

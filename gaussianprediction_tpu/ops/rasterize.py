@@ -56,6 +56,7 @@ def render(
     max_tiles: int = 1024,
     need_tidx: bool = True,
     cov3d_precomp=None,    # [N, 6] packed covariance, bypasses scale/rot
+    tight_rects: bool = True,
 ):
     """Differentiable render of one view. Static: width/height/sh_degree.
 
@@ -91,16 +92,24 @@ def render(
         }
 
     rotation = rotation / jnp.linalg.norm(rotation, axis=-1, keepdims=True)
+    # tight_rects: exact-support binning (projection.project_gaussians
+    # docstring) — the opacity drives INTEGER rects only, so gradients
+    # must not flow through it here
+    op_sg = (
+        jax.lax.stop_gradient(opacity) if tight_rects else None
+    )
     if cov3d_precomp is not None:
         # pipe.compute_cov3D_python path (gaussian_renderer/__init__.py:67-68)
         proj = projection.project_gaussians(
             xyz, cov3d_precomp, cam["world_view"], cam["full_proj"],
             cam["tanfovx"], cam["tanfovy"], width, height, alive=alive,
+            opacity=op_sg,
         )
     else:
         proj = projection.project_from_params(
             xyz, scaling, rotation, cam, width, height,
             scaling_modifier=scaling_modifier, alive=alive,
+            opacity=op_sg,
         )
     mean2d = proj.mean2d
     if means2d_dummy is not None:

@@ -65,6 +65,75 @@ class TestProjection:
         assert int(jnp.sum(proj.radius)) == 0
 
 
+class TestTightRects:
+    """Exact-support binning (projection.py: opacity-aware rects): identical
+    rendered output with strictly fewer tile instances."""
+
+    def _render(self, g, cam, tight, caps=24):
+        op = jnp.asarray(_sigmoid(g["opacity_logit"]).reshape(-1),
+                         jnp.float32)
+        return R.render(
+            jnp.asarray(g["xyz"]), jnp.exp(jnp.asarray(g["log_scales"])),
+            jnp.asarray(g["rotation"]), op, None, cam, W, H,
+            jnp.zeros(3), colors_precomp=jnp.asarray(g["colors"]),
+            interpret=True, capacity_multiplier=caps, tight_rects=tight,
+        )
+
+    def test_same_image_fewer_instances(self):
+        g, cam = scene(n=150, seed=3)
+        # mix in low-opacity gaussians (post-opacity-reset regime)
+        g = dict(g)
+        g["opacity_logit"] = g["opacity_logit"].copy()
+        g["opacity_logit"][::3] = -4.0   # op ~ 0.018
+        g["opacity_logit"][1::7] = -6.5  # op ~ 0.0015 < 1/255
+        loose = self._render(g, cam, tight=False)
+        tight = self._render(g, cam, tight=True)
+        assert int(loose["n_dropped"]) == 0 and int(tight["n_dropped"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(tight["render"]), np.asarray(loose["render"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tight["depth"]), np.asarray(loose["depth"]),
+            atol=1e-5,
+        )
+        assert int(tight["n_instances"]) < int(loose["n_instances"])
+        # stats stay reference-faithful: radii/visibility identical
+        np.testing.assert_array_equal(
+            np.asarray(tight["radii"]), np.asarray(loose["radii"])
+        )
+
+    def test_gradients_identical(self):
+        g, cam = scene(n=60, seed=4)
+        op = jnp.asarray(_sigmoid(g["opacity_logit"]).reshape(-1),
+                         jnp.float32)
+        args = (jnp.asarray(g["xyz"]),
+                jnp.exp(jnp.asarray(g["log_scales"])),
+                jnp.asarray(g["rotation"]), op,
+                jnp.asarray(g["colors"]))
+
+        def loss(xyz, scal, rot, op, cols, tight):
+            out = R.render(xyz, scal, rot, op, None, cam, W, H,
+                           jnp.zeros(3), colors_precomp=cols,
+                           interpret=True, tight_rects=tight)
+            return jnp.mean((out["render"] - 0.3) ** 2)
+
+        g_loose = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, False)
+        g_tight = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args, True)
+        for a, b in zip(g_tight, g_loose):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
+    def test_opacity_below_1_255_contributes_nothing(self):
+        g, cam = scene(n=40, seed=5)
+        g = dict(g)
+        g["opacity_logit"] = np.full_like(g["opacity_logit"], -7.0)
+        out = self._render(g, cam, tight=True)
+        assert int(out["n_instances"]) == 0
+        np.testing.assert_allclose(np.asarray(out["render"]), 0.0, atol=0)
+
+
 class TestBinning:
     def test_instances_cover_rects(self):
         g, cam = scene(60, seed=3)
