@@ -84,12 +84,75 @@ def _interpret_default() -> bool:
     return platform not in ("tpu", "axon")
 
 
+def _expand_subblock_dg(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
+    """dynamic_gather variant of the sub-block expansion (GPT_EXPAND_V=dg).
+
+    The slot->candidate one-hot is reduced to a per-slot LOCAL INDEX by one
+    tiny [1, 2W] x [B, 2W] matmul (g_local = Σ_i oh[j,i]·i; iota <= 255 is
+    exact in bf16), then all 16 channels are selected by two 128-lane
+    tpu.dynamic_gather lookups (jnp.take_along_axis on [16, 128] halves,
+    full vector rate) + a select — EXACT f32 values with no bf16 splits,
+    and 2 MXU passes per sub-block instead of 6.
+    """
+    offs_nx = jnp.concatenate(
+        [offs_w[:, 1:], jnp.full((1, 1), HUGE, jnp.int32)], axis=1
+    )
+    oh = jnp.where(
+        (offs_w <= jcol) & (offs_nx > jcol), 1.0, 0.0
+    )                                                    # [B, 2W]
+    W2 = offs_w.shape[1]
+    # tpu.iota is integer-only; cast to bf16 for the matmul (<=256 exact)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1).astype(
+        jnp.float32
+    )
+    g_loc = jax.lax.dot_general(
+        iota.astype(jnp.bfloat16), oh.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # [1, B]
+    B = jcol.shape[0]
+    gi = g_loc.astype(jnp.int32)                         # [1, B]
+    half = W2 // 2
+    idx_lo = jnp.broadcast_to(jnp.minimum(gi, half - 1), (NCH, B))
+    idx_hi = jnp.broadcast_to(
+        jnp.clip(gi - half, 0, half - 1), (NCH, B)
+    )
+    lo = jnp.take_along_axis(pw[:, :half], idx_lo, axis=1)   # [16, B]
+    hi = jnp.take_along_axis(pw[:, half:], idx_hi, axis=1)
+    rows = jnp.where(gi < half, lo, hi)                  # [16, B]
+
+    offs_sel = rows[10:11, :]
+    tminx = rows[11:12, :]
+    tminy = rows[12:13, :]
+    rw = rows[13:14, :]
+    gid = rows[14:15, :]
+    jrow = jcol.reshape(1, B).astype(jnp.float32)
+    k = jrow - offs_sel
+    rwm = jnp.maximum(rw, 1.0)
+    q = jnp.floor(k / rwm)
+    rem = k - q * rwm
+    keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
+
+    validf = (jcol.reshape(1, B) < total).astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            rows[0:10, :] * validf,
+            jnp.where(validf > 0.0, gid, -1.0),
+            jnp.where(validf > 0.0, keyf, jnp.float32(sentinel)),
+            jnp.zeros((NCH - 12, B), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     """Per-sub-block expansion math shared by both kernels.
 
     offs_w: [1, 2W] int32 candidate offsets window; pw: [16, 2W] candidate
     rows; jcol: [B, 1] global slot indices. Returns [16, B] output rows.
     """
+    if os.environ.get("GPT_EXPAND_V", "mm") == "dg":
+        return _expand_subblock_dg(offs_w, pw, jcol, total, grid_x, sentinel)
     offs_nx = jnp.concatenate(
         [offs_w[:, 1:], jnp.full((1, 1), HUGE, jnp.int32)], axis=1
     )
@@ -190,16 +253,39 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
         pltpu.make_async_copy(of_hbm, of_vmem, sems.at[1]).wait()
 
     def body(i, carry):
-        q = q_ref[b * RSUB + i]
-        off0 = pl.multiple_of(q * WCAND, WCAND)
-        offs_w = of_vmem[:, pl.ds(off0, 2 * WCAND)]
-        pw = pm_vmem[:, pl.ds(off0, 2 * WCAND)]
-        jcol = (b * RSUB + i) * BSLOT + jax.lax.broadcasted_iota(
-            jnp.int32, (BSLOT, 1), 0
-        )
-        out_ref[:, pl.ds(pl.multiple_of(i * BSLOT, BSLOT), BSLOT)] = (
-            _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
-        )
+        base = (b * RSUB + i) * BSLOT
+
+        # tail skip: a sub-block entirely past `total` holds only invalid
+        # slots — write the constant invalid block (gid -1, key sentinel)
+        # without window reads or selection math. With probe-sized
+        # capacity (>= 1.2x total) this trims the ~17% tail for free.
+        @pl.when(base < total)
+        def _live():
+            q = q_ref[b * RSUB + i]
+            off0 = pl.multiple_of(q * WCAND, WCAND)
+            offs_w = of_vmem[:, pl.ds(off0, 2 * WCAND)]
+            pw = pm_vmem[:, pl.ds(off0, 2 * WCAND)]
+            jcol = base + jax.lax.broadcasted_iota(
+                jnp.int32, (BSLOT, 1), 0
+            )
+            out_ref[:, pl.ds(pl.multiple_of(i * BSLOT, BSLOT), BSLOT)] = (
+                _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
+            )
+
+        @pl.when(base >= total)
+        def _tail():
+            out_ref[:, pl.ds(pl.multiple_of(i * BSLOT, BSLOT), BSLOT)] = (
+                jnp.concatenate(
+                    [
+                        jnp.zeros((10, BSLOT), jnp.float32),
+                        jnp.full((1, BSLOT), -1.0, jnp.float32),
+                        jnp.full((1, BSLOT), float(sentinel), jnp.float32),
+                        jnp.zeros((NCH - 12, BSLOT), jnp.float32),
+                    ],
+                    axis=0,
+                )
+            )
+
         return carry
 
     jax.lax.fori_loop(0, RSUB, body, jnp.int32(0))
