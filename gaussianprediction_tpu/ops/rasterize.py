@@ -156,7 +156,10 @@ def render(
     else:
         proj = proj._replace(mean2d=mean2d)
 
-    capacity = int(capacity_multiplier) * max(N, 1)
+    # float multipliers are allowed: band-sharded callers scale the per-
+    # scene multiplier by their band's fraction of the tile rows so every
+    # instance-proportional stream cost shrinks with the shard
+    capacity = max(int(capacity_multiplier * max(N, 1)), rp.CHUNK)
     capacity = ((capacity + rp.CHUNK - 1) // rp.CHUNK) * rp.CHUNK
     opacity = opacity.reshape(-1)
     feat = jnp.concatenate(

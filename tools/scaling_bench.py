@@ -141,6 +141,7 @@ def main():
             "rays_per_s": rays, "rays_per_s_per_chip": per_chip,
             "efficiency_vs_1": eff, "compile_s": compile_s,
             "loss": float(m["loss"]),
+            "n_dropped": int(m["n_dropped"]),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
