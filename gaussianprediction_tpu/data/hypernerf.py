@@ -26,14 +26,36 @@ from gaussianprediction_tpu.utils.camera import Camera, focal2fov
 
 
 def _load_camera_json(path: str):
-    with open(path) as f:
-        cam = json.load(f)
+    """Parse one camera/*.json through the full Nerfies model
+    (data/nerfies_camera.py — distortion-aware twin of the reference's
+    scene/utils.py Camera). The training path consumes the pinhole subset
+    (orientation/position/focal); captures with meaningful distortion are
+    surfaced once so the approximation is visible, matching the reference
+    renderer which is also pinhole past this point."""
+    from gaussianprediction_tpu.data.nerfies_camera import NerfiesCamera
+
+    cam = NerfiesCamera.from_json(path)
+    if cam.has_distortion and not _load_camera_json._warned:
+        _load_camera_json._warned = True
+        k = np.abs(cam.radial_distortion).max()
+        p = np.abs(cam.tangential_distortion).max()
+        print(
+            f"note: {os.path.basename(path)} carries lens distortion "
+            f"(|k|max={k:.2e}, |p|max={p:.2e}); rasterization is pinhole "
+            "(same as the reference renderer) — use "
+            "data.nerfies_camera.NerfiesCamera for exact ray/projection "
+            "math in data tooling"
+        )
     return (
-        np.asarray(cam["orientation"], np.float64),
-        np.asarray(cam["position"], np.float64),
-        float(cam["focal_length"]),
-        cam.get("image_size"),
+        cam.orientation.astype(np.float64),
+        cam.position.astype(np.float64),
+        float(cam.focal_length),
+        (cam.image_size.tolist()
+         if cam.image_size_x and cam.image_size_y else None),
     )
+
+
+_load_camera_json._warned = False
 
 
 def hyper_splits(datadir: str, max_time: float) -> Tuple[list, list, list]:

@@ -293,3 +293,96 @@ class TestColmapBinary:
         assert xyz.shape == (3, 3)
         np.testing.assert_allclose(xyz[:, 0], [0, 1, 2])
         np.testing.assert_allclose(rgb[0], [10, 20, 30])
+
+
+class TestNerfiesCamera:
+    """Distortion-aware HyperNeRF camera (data/nerfies_camera.py, twin of
+    reference scene/utils.py:63-427)."""
+
+    def _cam(self, **kw):
+        from gaussianprediction_tpu.data.nerfies_camera import NerfiesCamera
+        import numpy as np
+        th = 0.3
+        R = np.asarray([[np.cos(th), 0, np.sin(th)],
+                        [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]])
+        return NerfiesCamera(
+            orientation=R, position=[0.5, -0.2, -3.0], focal_length=500.0,
+            principal_point=[320.0, 240.0], image_size=[640, 480],
+            radial_distortion=[-0.15, 0.03, 0.0],
+            tangential_distortion=[1e-3, -5e-4], dtype=np.float64, **kw,
+        )
+
+    def test_undistort_inverts_distortion(self):
+        import numpy as np
+        from gaussianprediction_tpu.data.nerfies_camera import (
+            _distort, undistort,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-0.4, 0.4, 200)
+        y = rng.uniform(-0.3, 0.3, 200)
+        k1, k2, k3, p1, p2 = -0.2, 0.05, 0.01, 2e-3, -1e-3
+        xd, yd = _distort(x, y, k1, k2, k3, p1, p2)
+        xu, yu = undistort(xd, yd, k1, k2, k3, p1, p2)
+        np.testing.assert_allclose(xu, x, atol=1e-8)
+        np.testing.assert_allclose(yu, y, atol=1e-8)
+
+    def test_project_pixels_roundtrip(self):
+        import numpy as np
+        cam = self._cam()
+        rng = np.random.default_rng(1)
+        pixels = np.stack([rng.uniform(50, 590, 100),
+                           rng.uniform(50, 430, 100)], axis=-1)
+        depth = rng.uniform(2.0, 6.0, 100)
+        pts = cam.pixels_to_points(pixels, depth)
+        back = cam.project(pts)
+        np.testing.assert_allclose(back, pixels, atol=1e-5)
+
+    def test_rays_are_unit_and_through_center(self):
+        import numpy as np
+        cam = self._cam()
+        rays = cam.pixels_to_rays(np.asarray([[320.0, 240.0]]))
+        np.testing.assert_allclose(np.linalg.norm(rays, axis=-1), 1.0,
+                                   atol=1e-7)
+        # principal-point ray ~ optical axis (small distortion at center)
+        assert float(rays[0] @ cam.optical_axis) > 0.999
+
+    def test_scale_preserves_projection_direction(self):
+        import numpy as np
+        cam = self._cam()
+        half = cam.scale(0.5)
+        assert half.image_size_x == 320 and half.image_size_y == 240
+        p = np.asarray([[0.3, 0.1, 2.0]])
+        np.testing.assert_allclose(half.project(p), cam.project(p) * 0.5,
+                                   atol=1e-5)
+
+    def test_crop_shifts_principal_point(self):
+        import numpy as np
+        cam = self._cam()
+        c = cam.crop_image_domain(left=10, top=20)
+        p = np.asarray([[0.3, 0.1, 2.0]])
+        np.testing.assert_allclose(
+            c.project(p), cam.project(p) - np.asarray([10.0, 20.0]),
+            atol=1e-5,
+        )
+
+    def test_look_at_points_camera_at_target(self):
+        import numpy as np
+        cam = self._cam()
+        c = cam.look_at([1.0, 2.0, -5.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # target projects to the principal point
+        px = c.project(np.zeros((1, 3)))
+        np.testing.assert_allclose(px[0], c.principal_point, atol=1e-4)
+
+    def test_json_roundtrip(self, tmp_path):
+        import json as J
+        import numpy as np
+        from gaussianprediction_tpu.data.nerfies_camera import NerfiesCamera
+        cam = self._cam()
+        p = tmp_path / "cam.json"
+        with open(p, "w") as f:
+            J.dump(cam.to_json(), f)
+        cam2 = NerfiesCamera.from_json(str(p))
+        np.testing.assert_allclose(cam2.orientation, cam.orientation)
+        np.testing.assert_allclose(cam2.radial_distortion,
+                                   cam.radial_distortion)
