@@ -233,3 +233,93 @@ class TestHashGrid:
             + np.asarray(params[0]["b"]), 0,
         ) @ np.asarray(params[1]["w"]) + np.asarray(params[1]["b"])
         np.testing.assert_allclose(out, manual, atol=1e-5)
+
+
+class TestPointopsSecondary:
+    """pointops grouping/subtraction/aggregation/interpolation
+    (ops/pointops.py) vs direct numpy + torch-gradient parity."""
+
+    def test_grouping_and_backward(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.ops import pointops as P
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 10, (6, 3)).astype(np.int32))
+        out = P.grouping(x, idx)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(x)[np.asarray(idx)])
+        # backward = scatter-add of cotangents (grouping_backward_cuda)
+        g = jax.grad(lambda x: jnp.sum(P.grouping(x, idx) * 2.0))(x)
+        expect = np.zeros((10, 4), np.float32)
+        for i in np.asarray(idx).reshape(-1):
+            expect[i] += 2.0
+        np.testing.assert_allclose(np.asarray(g), expect)
+
+    def test_subtraction(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.ops import pointops as P
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(5, 3)).astype(np.float32)
+        b = rng.normal(size=(5, 3)).astype(np.float32)
+        idx = rng.integers(0, 5, (5, 2)).astype(np.int32)
+        out = np.asarray(P.subtraction(jnp.asarray(a), jnp.asarray(b),
+                                       jnp.asarray(idx)))
+        for i in range(5):
+            for j in range(2):
+                np.testing.assert_allclose(out[i, j], a[i] - b[idx[i, j]],
+                                           rtol=1e-6)
+
+    def test_aggregation_weight_channel_sharing(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.ops import pointops as P
+        rng = np.random.default_rng(2)
+        n, k, c, w_c = 4, 3, 6, 2
+        inp = rng.normal(size=(n, c)).astype(np.float32)
+        pos = rng.normal(size=(n, k, c)).astype(np.float32)
+        w = rng.normal(size=(n, k, w_c)).astype(np.float32)
+        idx = rng.integers(0, n, (n, k)).astype(np.int32)
+        out = np.asarray(P.aggregation(*map(jnp.asarray, (inp, pos, w, idx))))
+        expect = np.zeros((n, c), np.float32)
+        for i in range(n):
+            for j in range(k):
+                for cc in range(c):
+                    expect[i, cc] += (inp[idx[i, j], cc] + pos[i, j, cc]) \
+                        * w[i, j, cc % w_c]
+        np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+    def test_interpolation_idw(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.ops import pointops as P
+        # feature field linear in x: IDW interpolation of a constant
+        # must reproduce the constant; near-coincident target must return
+        # (nearly) the source value
+        src = np.asarray([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                         np.float32)
+        feat = np.asarray([[1.0], [1.0], [1.0], [1.0]], np.float32)
+        out = np.asarray(P.interpolation(jnp.asarray(src),
+                                         jnp.asarray([[0.5, 0.5, 0.0]]),
+                                         jnp.asarray(feat)))
+        np.testing.assert_allclose(out, [[1.0]], rtol=1e-6)
+        feat2 = np.asarray([[0.0], [5.0], [7.0], [9.0]], np.float32)
+        out2 = np.asarray(P.interpolation(
+            jnp.asarray(src), jnp.asarray([[1.0, 1e-5, 0.0]]),
+            jnp.asarray(feat2)))
+        assert abs(float(out2[0, 0]) - 5.0) < 1e-2
+
+    def test_queryandgroup_centers_xyz(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.ops import pointops as P
+        rng = np.random.default_rng(3)
+        xyz = rng.normal(size=(20, 3)).astype(np.float32)
+        feat = rng.normal(size=(20, 2)).astype(np.float32)
+        out = np.asarray(P.queryandgroup(4, jnp.asarray(xyz), None,
+                                         jnp.asarray(feat)))
+        assert out.shape == (20, 4, 5)
+        # self is its own nearest neighbor -> first grouped xyz is ~0
+        np.testing.assert_allclose(out[:, 0, :3], 0.0, atol=1e-5)
