@@ -114,7 +114,9 @@ def main():
         )
         rw = jnp.where(proj.visible, rw, 0)
         rh = jnp.where(proj.visible, rh, 0)
-        return jnp.sum(rw * rh)
+        # every Gaussian owns >= 1 slot (sentinel singletons for
+        # empty ones) in the no-depth-sort stream
+        return jnp.sum(jnp.maximum(rw * rh, 1))
 
     n_probe = int(jax.jit(probe_total)(xyz, scal, rot))
     mult = max(2, -(-int(n_probe * 1.2) // N))

@@ -91,8 +91,15 @@ class ModelConfig:
     max_gaussian_size: int = 200_000
     capacity: Optional[int] = None   # padded buffer; default from max size
     # instance buffer = multiplier * capacity; every instance-stream cost
-    # (sorts/gathers) scales with it — size for n_dropped == 0, no more
-    capacity_multiplier: int = 12
+    # (sorts/gathers) scales with it — size for n_dropped == 0, no more.
+    # capacity_auto=True (default): the Trainer probes the actual per-view
+    # slot need at init / checkpoint load / densify cadence and sizes the
+    # multiplier with 1.3x slack (growing + recompiling if a probe ever
+    # approaches the buffer), so production steps match the probe-sized
+    # bench instead of paying a worst-case static buffer. The static value
+    # below is the fallback when capacity_auto=False.
+    capacity_multiplier: float = 12
+    capacity_auto: bool = True
 
     def padded_capacity(self) -> int:
         if self.capacity is not None:

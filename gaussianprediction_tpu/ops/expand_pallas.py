@@ -133,12 +133,17 @@ def _expand_subblock_dg(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     rem = k - q * rwm
     keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
 
-    validf = (jcol.reshape(1, B) < total).astype(jnp.float32)
+    # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
+    # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
+    # invalid so it sorts past every tile segment
+    okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
+        rw > 0.5, 1.0, 0.0
+    )
     return jnp.concatenate(
         [
-            rows[0:10, :] * validf,
-            jnp.where(validf > 0.0, gid, -1.0),
-            jnp.where(validf > 0.0, keyf, jnp.float32(sentinel)),
+            rows[0:10, :] * okf,
+            jnp.where(okf > 0.0, gid, -1.0),
+            jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)),
             jnp.zeros((NCH - 12, B), jnp.float32),
         ],
         axis=0,
@@ -197,12 +202,17 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     rem = k - q * rwm
     keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
 
-    validf = (jcol.reshape(1, B) < total).astype(jnp.float32)
+    # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
+    # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
+    # invalid so it sorts past every tile segment
+    okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
+        rw > 0.5, 1.0, 0.0
+    )
     return jnp.concatenate(
         [
-            rows[0:10, :] * validf,
-            jnp.where(validf > 0.0, gid, -1.0),
-            jnp.where(validf > 0.0, keyf, jnp.float32(sentinel)),
+            rows[0:10, :] * okf,
+            jnp.where(okf > 0.0, gid, -1.0),
+            jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)),
             jnp.zeros((NCH - 12, B), jnp.float32),
         ],
         axis=0,
@@ -386,8 +396,10 @@ def stack_rows(chans, nch: int = NCH, interpret=None):
 
 def expand_rows(permat, offs_row, starts_q, total, capacity: int,
                 grid_x: int, sentinel: int, interpret=None):
-    """permat: [16, Np] channel-major per-Gaussian rows, depth-sorted and
-    zero-count-compacted, channels [feat0..9, offs, tminx, tminy, rw, gid,
+    """permat: [16, Np] channel-major per-Gaussian rows where EVERY
+    candidate owns >= 1 slot (zero-count Gaussians carry rw == 0 and one
+    sentinel singleton slot — the window-bound invariant without any sort
+    or compaction), channels [feat0..9, offs, tminx, tminy, rw, gid,
     unused]; Np a multiple of WCAND with >= 2*WCAND of padding reach.
     offs_row: [1, Np] int32 ascending (pad lanes HUGE).
     starts_q: [nb] int32 candidate-window block indices (g0 // WCAND),

@@ -7,13 +7,22 @@ in the render path. Motivation (measured on TPU v5e, 200k Gaussians /
 monotone row-gathers are a few ms. So the whole binning+packing pipeline is
 re-expressed around one value-carrying sort:
 
-1. ONE value-carrying lax.sort depth-orders the per-Gaussian channels AND
-   compacts zero-count Gaussians to the tail (2 keys, 14 value operands);
+1. NO per-Gaussian sort at all (round 3): the expand kernel's candidate-
+   window invariant (<= 129 candidates per 128-slot block) only needs
+   every candidate to own >= 1 slot, so zero-count Gaussians are given ONE
+   sentinel-keyed singleton slot instead of being compacted away — permat
+   is assembled in ORIGINAL order by the Pallas stack kernel, and the
+   16-operand depth sort (6.6 ms at 200k, exp_r3stream A1) disappears.
+   Depth ordering moves into the tile sort as a second key (measured
+   +0.26 ms, exp_r3stream B2-B1); sentinel singletons sort harmlessly past
+   every tile segment;
 2. rect capping (to <= K tiles, expressible as a sub-rect) and instance
-   counts/offsets by cumsum;
+   counts/offsets by cumsum (offsets strictly increasing — every Gaussian
+   owns >= 1 slot);
 3. slot->Gaussian expansion + per-slot tile keys via the Pallas one-hot-
    matmul kernel (ops/expand_pallas.py) — no scatter, no gather; emits the
-   [16, P] channel-major SoA directly;
+   [16, P] channel-major SoA directly (empty Gaussians' singletons emit
+   gid -1 / sentinel key);
 4. per-tile counts via the 2D CORNER-DIFFERENCE histogram, built WITHOUT
    scatter-adds (collision-bound on TPU): sort the 4N signed corner
    contributions by flat grid index, cumsum the signs, difference the
@@ -24,17 +33,20 @@ re-expressed around one value-carrying sort:
    rows keyed by the tile id are appended after the reals, so the single
    stable sort by tile id lands every tile's segment at its padded start —
    no re-layout pass at all;
-6. one stable lax.sort by tile id carrying all 11 live channels
-   (contiguous rows of the kernel's SoA output).
+6. one stable 2-key lax.sort by (tile id, depth) carrying the other 10
+   live channels (contiguous rows of the kernel's SoA output); within a
+   tile, equal depths keep original-index order — identical to the
+   oracle's stable depth argsort.
 
 The custom VJP avoids the 65 ms scatter-add that plain AD of a packing
 gather would emit: gradients are reduced per-Gaussian by sorting the
 per-instance cotangents by gaussian id (free) and taking boundary
-differences of a cumulative sum (the sorted-run reduction).
+differences of a cumulative sum (the sorted-run reduction); slot order is
+original-Gaussian order, so the per-id counts need no inverse permutation.
 
 Capacity overflow policy: per-Gaussian footprints are capped to a sub-rect
 of <= max_tiles tiles; if total instances still exceed capacity the
-trailing (deepest) instances are dropped AND the corner histogram
+trailing (highest-original-index) instances are dropped AND the corner histogram
 over-counts — `n_dropped` flags this so callers resize capacity (render
 asserts in tests; production configs are sized for zero drops).
 """
@@ -74,9 +86,11 @@ class InstanceStream(NamedTuple):
     tile_start: jnp.ndarray  # [T]
     tile_end: jnp.ndarray    # [T]
     n_dropped: jnp.ndarray   # [] int32
-    n_total: jnp.ndarray     # [] int32 pre-drop instance count (capacity
-                             # sizing signal: callers tune capacity_multiplier
-                             # to keep n_total <= capacity with slack)
+    n_total: jnp.ndarray     # [] int32 pre-drop SLOT count — real instances
+                             # plus one sentinel singleton per empty Gaussian
+                             # (capacity sizing signal: callers tune
+                             # capacity_multiplier to keep n_total <=
+                             # capacity with slack)
 
 
 def _capped_rect(tmin, tmax, center_px, max_tiles: int):
@@ -102,6 +116,11 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
                         max_tiles: int, interpret=None):
     """feat: [N, 10] differentiable channels (mx,my,ca,cb,cc,op,r,g,b,z).
 
+    CONTRACT: feat channel 9 (z, the C_Z packing slot) is the depth used
+    for within-tile front-to-back ordering — it is the second tile-sort
+    key. The `depth` argument is no longer consulted (retained for API
+    stability; rasterize.py passes proj.depth in both places).
+
     Returns (InstanceStream, residuals for the VJP). The instance buffer
     is rounded up to the expand kernel's slot-block size."""
     N = feat.shape[0]
@@ -117,32 +136,17 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     )
     rw = jnp.where(visible, rw0, 0)
     rh = jnp.where(visible, rh0, 0)
-
-    # 1. ONE fused value-carrying sort does the depth ordering AND the
-    # zero-count compaction the expand kernel needs (primary key sends
-    # count==0 rows to the tail, secondary key is depth; feat channel 9 IS
-    # the depth, so the key doubles as the carried z channel). Replaces the
-    # round-1 (2-op sort + random [N,14] row gather) — value sorts are
-    # nearly flat in operand count while row gathers cost ~6 ms at 200k.
     gidx = jnp.arange(N, dtype=jnp.int32)
-    zerokey = (rw * rh == 0).astype(jnp.int32)
-    srt = jax.lax.sort(
-        (zerokey, depth,
-         feat[:, 0], feat[:, 1], feat[:, 2], feat[:, 3], feat[:, 4],
-         feat[:, 5], feat[:, 6], feat[:, 7], feat[:, 8],
-         x0c.astype(jnp.float32), y0c.astype(jnp.float32),
-         rw.astype(jnp.float32), rh.astype(jnp.float32), gidx),
-        num_keys=2, is_stable=True,
-    )
-    depth_s = srt[1]
-    x0f, y0f, rwf, rhf = srt[11:15]
-    gid_s = srt[15]
-    rw_s = rwf.astype(jnp.int32)
-    rh_s = rhf.astype(jnp.int32)
 
-    count = rw_s * rh_s
-    offsets = (jnp.cumsum(count) - count).astype(jnp.int32)
-    total = offsets[-1] + count[-1]
+    # 1. NO depth sort (see module docstring): give every Gaussian >= 1
+    # slot so the expand windows stay bounded in ORIGINAL order; empty
+    # Gaussians' singleton slots emit gid -1 / sentinel key in-kernel
+    # (flagged by the real rw channel being 0).
+    count = rw * rh                         # [N] real instance counts
+    count1 = jnp.maximum(count, 1)
+    offsets = (jnp.cumsum(count1) - count1).astype(jnp.int32)
+    total1 = offsets[-1] + count1[-1]       # includes sentinel singletons
+    total_real = jnp.sum(count)
 
     # 2-3. slot->Gaussian expansion via the Pallas one-hot-matmul kernel
     # (ops/expand_pallas.py): replaces the round-1 scatter-max + log-cummax
@@ -151,13 +155,13 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     B, W = expand_pallas.BSLOT, expand_pallas.WCAND
     S = expand_pallas.ALIGN
     cap512 = ((capacity + S - 1) // S) * S
-    qmax = max((N - 1) // W, 0)
     # rounded up to the stack kernel's block so the [16, Np] permat is
     # assembled by the streaming Pallas stack (the XLA stack emitter costs
     # several ms at this shape); extra lanes carry HUGE offsets and are
-    # never selected
+    # never selected. >= 2*WCAND of padding reach past N keeps every
+    # candidate window in bounds (expand_rows contract).
     STK = expand_pallas.STK_BLK
-    Np = (((qmax + 2) * W + STK - 1) // STK) * STK
+    Np = ((N + 2 * W + STK - 1) // STK) * STK
     pad = Np - N
     offs_row = jnp.concatenate(
         [offsets, jnp.full((pad,), expand_pallas.HUGE, jnp.int32)]
@@ -168,12 +172,13 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         return jnp.concatenate([ch, padf])
 
     permat = expand_pallas.stack_rows(
-        [padded(c) for c in srt[2:11]]
-        + [padded(depth_s), padded(offsets.astype(jnp.float32)),
-           padded(x0f), padded(y0f), padded(rwf),
-           padded(gid_s.astype(jnp.float32))],
+        [padded(feat[:, c]) for c in range(10)]
+        + [padded(offsets.astype(jnp.float32)),
+           padded(x0c.astype(jnp.float32)), padded(y0c.astype(jnp.float32)),
+           padded(rw.astype(jnp.float32)),
+           padded(gidx.astype(jnp.float32))],
         nch=16, interpret=interpret,
-    )  # [16, Np] channel-major
+    )  # [16, Np] channel-major, ORIGINAL order
     nb = cap512 // B
     block_starts = jnp.arange(nb, dtype=jnp.int32) * B
     g0 = jnp.maximum(
@@ -188,7 +193,7 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     # invalid (sentinel keys) and sort harmlessly to the tail
     inst_soa = expand_pallas.expand_rows(
         permat, offs_row, starts_q,
-        jnp.minimum(total, capacity)[None], cap512, grid_x,
+        jnp.minimum(total1, capacity)[None], cap512, grid_x,
         int(num_tiles), interpret=interpret,
     )  # [16, cap512]: feat(10), gid, key, 0,0,0,0
     key = inst_soa[11].astype(jnp.int32)
@@ -245,20 +250,26 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     ])
     d_zero = jnp.zeros((TC + pad_extra,), jnp.float32)
 
-    # 6. ONE stable sort by tile id CARRYING all 11 channels as sort values:
-    # random row gathers of [2.3M, 16] cost ~74 ms on this TPU while value-
-    # carrying sorts are nearly flat in operand count (12-operand sort
-    # 8.6 ms at 3.3M, exp/exp_bigsort.py) — round 1 paired two <=9-operand
-    # sorts out of compile-time caution. The operands are contiguous row
-    # slices of the kernel's SoA output (no strided column extraction).
-    # The [16, Pp] SoA is assembled by the Pallas interleave kernel: XLA's
-    # stack emitter costs ~18 ms fused after the sort (exp_tilesort S3-S2).
+    # 6. ONE stable 2-KEY sort by (tile id, depth) CARRYING the other 10
+    # channels as sort values — the second key replaces the retired
+    # per-Gaussian depth sort (exp_r3stream: +0.26 ms vs 1-key at this
+    # shape, vs 6.6 ms for the 16-op depth sort it removes). Dummies carry
+    # z = +inf-class so they land after every real instance of their tile.
+    # Operands are contiguous row slices of the kernel's SoA output; the
+    # [16, Pp] SoA is assembled by the Pallas interleave kernel (XLA's
+    # stack emitter costs ~18 ms fused after the sort, exp_tilesort S3-S2).
     all_key = jnp.concatenate([key, d_key])
+    z_all = jnp.concatenate(
+        [inst_soa[9], d_zero + jnp.float32(3e38)]
+    )
     chans = tuple(
-        jnp.concatenate([inst_soa[c], d_zero]) for c in range(10)
+        jnp.concatenate([inst_soa[c], d_zero]) for c in range(9)
     ) + (jnp.concatenate([inst_soa[10], d_zero - 1.0]),)  # dummy gid = -1
-    s = jax.lax.sort((all_key,) + chans, num_keys=1, is_stable=True)
-    inst = expand_pallas.interleave_rows(s[1:], interpret=interpret)
+    s = jax.lax.sort((all_key, z_all) + chans, num_keys=2, is_stable=True)
+    # interleave expects [feat0..9, gid]: z (sort key 2) is feat channel 9
+    inst = expand_pallas.interleave_rows(
+        s[2:11] + (s[1], s[11]), interpret=interpret
+    )
     # [16, Pp] SoA — the orientation the Pallas kernels DMA directly
 
     tile_start = jnp.minimum(pstart, Pp)
@@ -270,19 +281,25 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         * jnp.maximum(tiles_max[:, 1] - tiles_min[:, 1], 0),
         0,
     )
-    n_dropped = jnp.sum(area_full) - jnp.sum(count) + jnp.maximum(
-        total - capacity, 0
-    )
+    area_drop = jnp.sum(area_full) - total_real     # rect-capping losses
+    n_dropped = area_drop + jnp.maximum(total1 - capacity, 0)
 
+    # n_total: the slot count capacity must cover with slack — real
+    # instances + the per-Gaussian sentinel singletons + capping losses
     stream = InstanceStream(inst, tile_start, tile_end, n_dropped,
-                            total + (n_dropped - jnp.maximum(total - capacity, 0)))
-    # KEPT (post-capacity-drop) per-Gaussian counts, depth order: slots
-    # [offsets, offsets+count) clipped to [0, capacity). Using raw `count`
-    # here misaligns every run boundary in the backward once instances are
-    # dropped, corrupting ALL gradients (ADVICE.md r1 #1).
-    kept = (jnp.minimum(offsets + count, capacity)
-            - jnp.minimum(offsets, capacity)).astype(jnp.int32)
-    residuals = (inst[C_GID_ROW], kept, gid_s, feat.shape)
+                            total1 + area_drop)
+    # KEPT (post-capacity-drop) per-Gaussian REAL counts in original
+    # order: slots [offsets, offsets+count) clipped to [0, capacity);
+    # empty Gaussians' singleton slots carry gid -1 and belong to the
+    # backward's negative-id prefix, so their kept is 0. Using raw `count`
+    # would misalign every run boundary once instances drop (ADVICE r1 #1).
+    kept = jnp.where(
+        count > 0,
+        jnp.minimum(offsets + count, capacity)
+        - jnp.minimum(offsets, capacity),
+        0,
+    ).astype(jnp.int32)
+    residuals = (inst[C_GID_ROW], kept, feat.shape)
     return stream, residuals
 
 
@@ -290,7 +307,7 @@ def build_instances_bwd(residuals, d_inst):
     """Per-Gaussian gradient reduction: sorted-run cumsum differences.
 
     d_inst: [16, Pp] SoA cotangent (rows slice contiguously)."""
-    gid_f, kept_depth, gid_s, feat_shape = residuals
+    gid_f, kept, feat_shape = residuals
     N, F = feat_shape
     Pp = gid_f.shape[0]
     gid = gid_f.astype(jnp.int32)                 # -1 for dummies/invalid
@@ -301,9 +318,10 @@ def build_instances_bwd(residuals, d_inst):
     dch = tuple(d_inst[c] for c in range(10))
     b = jax.lax.sort((gid,) + dch, num_keys=1, is_stable=True)
 
-    # per-ID KEPT instance counts: inverse-permute depth-order counts
-    # (kept = post-drop; matches the gid>=0 population of the sorted array)
-    counts_id = jnp.zeros((N,), jnp.int32).at[gid_s].set(kept_depth)
+    # per-ID KEPT real-instance counts are already in original (== gid)
+    # order — the slot order IS original-Gaussian order now, no inverse
+    # permutation needed
+    counts_id = kept
     n_neg = Pp - jnp.sum(counts_id)               # dummies + invalid slots
     ends = n_neg + jnp.cumsum(counts_id)
     starts = ends - counts_id

@@ -150,6 +150,73 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
+        # probe-based instance-capacity sizing (cfg.model.capacity_auto):
+        # jitted projection-only slot count for the CURRENT params at one
+        # camera — every instance-stream cost scales with the static
+        # capacity, so production sizes it like bench.py does instead of
+        # paying the worst-case static multiplier
+        from gaussianprediction_tpu.models.gaussians import (
+            opacity_act, scaling_act,
+        )
+        from gaussianprediction_tpu.ops import instance_stream as IS
+        from gaussianprediction_tpu.ops import projection as PJ
+
+        def _probe(params, alive, cam_d):
+            rot = params["rotation"]
+            rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+            proj = PJ.project_from_params(
+                params["xyz"], scaling_act(params["scaling"]), rot, cam_d,
+                self.width, self.height, alive=alive,
+                opacity=opacity_act(params["opacity"]),
+            )
+            x0, y0, rw, rh = IS._capped_rect(
+                proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
+            )
+            rw = jnp.where(proj.visible, rw, 0)
+            rh = jnp.where(proj.visible, rh, 0)
+            return jnp.sum(jnp.maximum(rw * rh, 1))
+
+        self._jit_probe = jax.jit(_probe)
+        if cfg.model.capacity_auto:
+            self._auto_capacity(reason="init")
+
+    def _probe_need(self, n_cams: int = 8) -> int:
+        cams = self.scene.train_cameras
+        sample = cams[:: max(1, len(cams) // n_cams)][:n_cams]
+        return max(
+            int(self._jit_probe(self.state.params, self.state.alive,
+                                c.to_device_dict()))
+            for c in sample
+        )
+
+    def _auto_capacity(self, reason: str, slack: float = 1.3):
+        """Size capacity_multiplier from the probed slot need. Growing
+        invalidates compiled steps (recompile); shrinking only happens at
+        init/load (cheap before anything compiled)."""
+        import math
+
+        need = self._probe_need()
+        cap = max(self.state.capacity, 1)
+        # quantize to 0.5 steps so densify-cadence probes don't recompile
+        # on every small growth
+        mult = max(2.0, math.ceil(slack * need / cap * 2.0) / 2.0)
+        cur = float(self.cfg.model.capacity_multiplier)
+        grow = mult > cur
+        if reason in ("init", "load") or grow:
+            self.cfg.model.capacity_multiplier = mult
+            if self._steps and grow:
+                self._steps.clear()
+                if not self.quiet:
+                    print(
+                        f"[capacity] probe {need} slots > buffer; "
+                        f"multiplier {cur:.2f} -> {mult:.2f} (recompile)"
+                    )
+            elif not self.quiet:
+                print(
+                    f"[capacity] {reason}: probe {need} slots -> "
+                    f"multiplier {mult:.2f}"
+                )
+
     # ---- jitted-step cache ------------------------------------------------
     # Steps compile ONCE per stage at the static max SH degree; the warm-up
     # degree is a traced int32 that zero-masks inactive coefficients inside
@@ -310,6 +377,10 @@ class Trainer:
             ):
                 size_thr = 20 if iteration > o.opacity_reset_interval else None
                 self.state = self._jit_prune[size_thr](self.state)
+                if cfg.model.capacity_auto:
+                    # densification changed footprints; grow the instance
+                    # buffer (with recompile) before drops can bias training
+                    self._auto_capacity(reason="densify")
 
         # adaptive keypoint growth (train.py:181-192): teaching-residual
         # growth first (densification_motion_postfix), then gradient-driven
@@ -663,3 +734,5 @@ class Trainer:
         self.active_sh_degree = min(
             self.cfg.model.sh_degree, self.iteration // 1000
         )
+        if self.cfg.model.capacity_auto:
+            self._auto_capacity(reason="load")

