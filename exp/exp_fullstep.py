@@ -61,6 +61,36 @@ def main():
     gt = jnp.zeros((H, W, 3), jnp.float32)
     bg = np.zeros(3, np.float32)
 
+    # probe-size the instance capacity like production (Trainer
+    # capacity_auto) instead of the static worst-case multiplier
+    from gaussianprediction_tpu.models.gaussians import (
+        opacity_act, scaling_act,
+    )
+    from gaussianprediction_tpu.ops import instance_stream as IS
+    from gaussianprediction_tpu.ops import projection as PJ
+
+    def probe(params, alive):
+        rot = params["rotation"]
+        rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+        proj = PJ.project_from_params(
+            params["xyz"], scaling_act(params["scaling"]), rot, cam, W, H,
+            alive=alive, opacity=opacity_act(params["opacity"]),
+        )
+        x0, y0, rw, rh = IS._capped_rect(
+            proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
+        )
+        rw = jnp.where(proj.visible, rw, 0)
+        rh = jnp.where(proj.visible, rh, 0)
+        return jnp.sum(jnp.maximum(rw * rh, 1))
+
+    need = int(jax.jit(probe)(state.params, state.alive))
+    import math
+    cfg.model.capacity_multiplier = max(
+        2.0, math.ceil(1.3 * need / max(state.capacity, 1) * 2.0) / 2.0
+    )
+    print(f"probe: {need} slots -> mult {cfg.model.capacity_multiplier}",
+          flush=True)
+
     stages = [int(s) for s in args.stages.split(",")]
     if any(s >= 2 for s in stages):
         state = jax.jit(lambda s, k: set_super_keypoints(s, cfg, k))(
