@@ -191,8 +191,9 @@ def main():
     timed("C2 10 serial cumsums + boundary gathers", chain(c2), chans11[0])
 
     def c3(c0):
+        # interleave takes exactly 11 channels: 10 cotangents + gid
         mat = expand_pallas.interleave_rows(
-            (c0,) + tuple(chans11[1:]) + (gid_r.astype(jnp.float32),))
+            (c0,) + tuple(chans11[1:10]) + (gid_r.astype(jnp.float32),))
         cs = jnp.cumsum(mat, axis=1)
         e1 = jnp.maximum(ends - 1, 0)
         cols = [cs[c][e1] for c in range(10)]

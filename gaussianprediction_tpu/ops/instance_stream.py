@@ -171,8 +171,12 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     def padded(ch):
         return jnp.concatenate([ch, padf])
 
+    # ONE [N,10]->[10,N] transpose materializes contiguous channel rows:
+    # feat[:, c] column slices would hand the stack kernel 10 strided
+    # views (stride-10 reads of the row-major feat)
+    featT = jnp.pad(feat.T, ((0, 0), (0, pad)))
     permat = expand_pallas.stack_rows(
-        [padded(feat[:, c]) for c in range(10)]
+        [featT[c] for c in range(10)]
         + [padded(offsets.astype(jnp.float32)),
            padded(x0c.astype(jnp.float32)), padded(y0c.astype(jnp.float32)),
            padded(rw.astype(jnp.float32)),

@@ -54,7 +54,9 @@ CHUNK = 128        # instance ALIGNMENT quantum (tile segments are padded to
 # ~2.5 ms, so fatter iterations amortize the loop overhead. The blend math
 # is partition-invariant (the done-latch/test_T sequence per lane does not
 # depend on where chunk boundaries fall), so any X is exact.
-KCHUNK = CHUNK * int(os.environ.get("GPT_KCHUNK_X", "1"))
+# Bench A/B at 200k/800² (r3): X=1 63.2 ms, X=2 58.2, X=4 60.3 — default 2
+# (wider iterations waste more tail lanes on sparse tiles past that).
+KCHUNK = CHUNK * int(os.environ.get("GPT_KCHUNK_X", "2"))
 NCH = 16           # packed f32 channels per instance
 T_EPS = 1e-4
 ALPHA_CLAMP = 0.99
