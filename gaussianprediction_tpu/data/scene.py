@@ -43,9 +43,18 @@ def load_scene_info(cfg: Config, lazy: bool = False) -> SceneInfo:
 
 
 class Scene:
-    """Host-side scene state: cameras + extent + camera sampling."""
+    """Host-side scene state: cameras + extent + camera sampling.
 
-    def __init__(self, info: SceneInfo, seed: int = 0):
+    `prefetch` > 0 decodes the next K sampled cameras' ground-truth images
+    on a background thread pool while the device steps (the sampling order
+    is pre-generated per epoch with the SAME rng consumption as the
+    original pop-based sampler, so sequences are seed-identical). Decoded
+    images cache on the Camera (utils/camera.py:load_image), so this only
+    costs the first epoch's latency — which is when compile-fresh TPU
+    steps are also the slowest.
+    """
+
+    def __init__(self, info: SceneInfo, seed: int = 0, prefetch: int = 4):
         self.info = info
         self.train_cameras: List[Camera] = info.train_cameras
         self.test_cameras: List[Camera] = info.test_cameras
@@ -54,13 +63,42 @@ class Scene:
         norm = nerfpp_norm(info.train_cameras)
         self.cameras_extent = norm["radius"]
         self._rng = random.Random(seed)
-        self._stack: List[int] = []
+        self._order: List[int] = []
+        self._prefetch = prefetch
+        self._pool = None
+        if prefetch > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="scene-prefetch"
+            )
+        self._inflight: dict = {}
+
+    def _refill_epoch(self):
+        # identical rng consumption to the original pop-based sampler:
+        # stack.pop(randrange(len)) repeated — order is the pop sequence
+        stack = list(range(len(self.train_cameras)))
+        order = []
+        while stack:
+            order.append(stack.pop(self._rng.randrange(len(stack))))
+        self._order = order
+
+    def _warm(self, idx: int):
+        cam = self.train_cameras[idx]
+        if cam.image is None and idx not in self._inflight:
+            self._inflight[idx] = self._pool.submit(cam.load_image)
 
     def next_train_camera(self) -> Camera:
         """Random-without-replacement epoch sampling (train.py:86-88)."""
-        if not self._stack:
-            self._stack = list(range(len(self.train_cameras)))
-        idx = self._stack.pop(self._rng.randrange(len(self._stack)))
+        if not self._order:
+            self._refill_epoch()
+        idx = self._order.pop(0)
+        if self._pool is not None:
+            fut = self._inflight.pop(idx, None)
+            if fut is not None:
+                fut.result()  # ensure the decode finished (caches on cam)
+            for j in self._order[: self._prefetch]:
+                self._warm(j)
         return self.train_cameras[idx]
 
 

@@ -386,3 +386,52 @@ class TestNerfiesCamera:
         np.testing.assert_allclose(cam2.orientation, cam.orientation)
         np.testing.assert_allclose(cam2.radial_distortion,
                                    cam.radial_distortion)
+
+
+class TestScenePrefetch:
+    def test_sampling_sequence_matches_legacy(self):
+        """The pre-generated epoch order must consume the rng exactly like
+        the original pop-based sampler (seed reproducibility)."""
+        import random
+        from gaussianprediction_tpu.data.scene import (
+            Scene, synthetic_scene_info,
+        )
+        info = synthetic_scene_info(n_points=20, n_cams=7, n_test=0,
+                                    width=16, height=16, interpret=True)
+        seed = 11
+        scene = Scene(info, seed=seed, prefetch=0)
+        got = [scene.next_train_camera().uid for _ in range(15)]
+        # legacy simulation
+        rng = random.Random(seed)
+        stack, expect = [], []
+        for _ in range(15):
+            if not stack:
+                stack = list(range(7))
+            expect.append(stack.pop(rng.randrange(len(stack))))
+        assert [info.train_cameras[i].uid for i in expect] == got
+
+    def test_prefetch_warms_cache(self, tmp_path):
+        import numpy as np
+        import imageio.v2 as imageio
+        from gaussianprediction_tpu.data.scene import Scene
+        from gaussianprediction_tpu.data.scene_types import SceneInfo
+        from gaussianprediction_tpu.utils.camera import Camera
+        cams = []
+        for i in range(6):
+            p = str(tmp_path / f"im{i}.png")
+            imageio.imwrite(p, np.full((8, 8, 3), i * 20, np.uint8))
+            cams.append(Camera(uid=i, R=np.eye(3), T=np.zeros(3),
+                               fovx=1.0, fovy=1.0, image=None,
+                               image_name=f"im{i}", width=8, height=8,
+                               time=0.0, image_path=p))
+        info = SceneInfo(points=np.zeros((4, 3), np.float32),
+                         colors=np.zeros((4, 3), np.float32),
+                         train_cameras=cams, test_cameras=[],
+                         render_cameras=[], total_frame=6)
+        scene = Scene(info, seed=0, prefetch=3)
+        seen = [scene.next_train_camera() for _ in range(6)]
+        for c in seen:
+            img = c.load_image()
+            assert img.shape == (8, 8, 3)
+        # after one epoch with prefetch, most images are cached
+        assert sum(c.image is not None for c in cams) == 6
