@@ -84,6 +84,92 @@ def _interpret_default() -> bool:
     return platform not in ("tpu", "axon")
 
 
+def _emit_rows(rows, jcol, total, grid_x: int, sentinel: int):
+    """Shared tail of every sub-block variant: rect-walk the selected
+    per-Gaussian rows into per-slot tile keys and mask invalid slots.
+
+    rows: [16, B] selected candidate rows; jcol: [B, 1] global slot ids.
+    Rect walk in exact f32 small-int arithmetic (k < 1024 = max_tiles area
+    cap, rw >= 1: the f32 quotient can't round across an integer boundary
+    because 1/rw >= 2^-10 exceeds half an ulp here)."""
+    B = jcol.shape[0]
+    offs_sel = rows[10:11, :]
+    tminx = rows[11:12, :]
+    tminy = rows[12:13, :]
+    rw = rows[13:14, :]
+    gid = rows[14:15, :]
+    jrow = jcol.reshape(1, B).astype(jnp.float32)
+    k = jrow - offs_sel
+    rwm = jnp.maximum(rw, 1.0)
+    q = jnp.floor(k / rwm)
+    rem = k - q * rwm
+    keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
+
+    # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
+    # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
+    # invalid so it sorts past every tile segment
+    okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
+        rw > 0.5, 1.0, 0.0
+    )
+    return jnp.concatenate(
+        [
+            rows[0:10, :] * okf,
+            jnp.where(okf > 0.0, gid, -1.0),
+            jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)),
+            jnp.zeros((NCH - 12, B), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def _expand_subblock_bs(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
+    """Binary-search variant (GPT_EXPAND_V=bs, the default): the per-slot
+    candidate index g_loc = max{i : offs[i] <= j} is found by log2(2W) = 8
+    steps of VECTORIZED binary search over the [1, 2W] offsets window —
+    each probe is two 128-lane tpu.dynamic_gather LUTs (take_along_axis on
+    matching [1, 128] shapes runs at full vector rate) plus a select — and
+    the channels are then selected by two [16, 128] LUTs. No [B, 2W]
+    one-hot is ever built and no MXU matmul runs: the mm/dg variants'
+    dominant per-sub-block cost is the ~65k VPU compares materializing the
+    [128, 256] one-hot mask (which is why dg's fewer MXU passes measured a
+    TIE); the search does ~40 [1, 128]-lane ops instead.
+
+    Exactness: offsets are compared in f32 — exact while capacity < 2^24
+    (the permat already stores offsets as f32 in row 10, so this bound is
+    a pre-existing contract), and the HUGE = 2^30 padding is a power of
+    two, also exact. The search invariant offs[0] <= j holds because the
+    window base q*WCAND <= g0 = searchsorted(offs, block_start) - 1 and
+    offsets are nondecreasing."""
+    B = jcol.shape[0]
+    W2 = offs_w.shape[1]
+    half = W2 // 2
+    offs_f = offs_w.astype(jnp.float32)
+    jf = jcol.reshape(1, B).astype(jnp.float32)
+    t0, t1 = offs_f[:, :half], offs_f[:, half:]
+
+    def lut(idx):                                   # [1, B] int32 -> f32
+        i0 = jnp.minimum(idx, half - 1)
+        i1 = jnp.clip(idx - half, 0, half - 1)
+        v0 = jnp.take_along_axis(t0, i0, axis=1)
+        v1 = jnp.take_along_axis(t1, i1, axis=1)
+        return jnp.where(idx < half, v0, v1)
+
+    lo = jnp.zeros((1, B), jnp.int32)
+    w = W2
+    while w > 1:
+        w //= 2
+        probe = lo + w
+        lo = jnp.where(lut(probe) <= jf, probe, lo)
+    gi = lo                                          # [1, B] candidate index
+
+    idx_lo = jnp.broadcast_to(jnp.minimum(gi, half - 1), (NCH, B))
+    idx_hi = jnp.broadcast_to(jnp.clip(gi - half, 0, half - 1), (NCH, B))
+    sel_lo = jnp.take_along_axis(pw[:, :half], idx_lo, axis=1)
+    sel_hi = jnp.take_along_axis(pw[:, half:], idx_hi, axis=1)
+    rows = jnp.where(gi < half, sel_lo, sel_hi)      # [16, B]
+    return _emit_rows(rows, jcol, total, grid_x, sentinel)
+
+
 def _expand_subblock_dg(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     """dynamic_gather variant of the sub-block expansion (GPT_EXPAND_V=dg).
 
@@ -120,34 +206,7 @@ def _expand_subblock_dg(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     lo = jnp.take_along_axis(pw[:, :half], idx_lo, axis=1)   # [16, B]
     hi = jnp.take_along_axis(pw[:, half:], idx_hi, axis=1)
     rows = jnp.where(gi < half, lo, hi)                  # [16, B]
-
-    offs_sel = rows[10:11, :]
-    tminx = rows[11:12, :]
-    tminy = rows[12:13, :]
-    rw = rows[13:14, :]
-    gid = rows[14:15, :]
-    jrow = jcol.reshape(1, B).astype(jnp.float32)
-    k = jrow - offs_sel
-    rwm = jnp.maximum(rw, 1.0)
-    q = jnp.floor(k / rwm)
-    rem = k - q * rwm
-    keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
-
-    # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
-    # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
-    # invalid so it sorts past every tile segment
-    okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
-        rw > 0.5, 1.0, 0.0
-    )
-    return jnp.concatenate(
-        [
-            rows[0:10, :] * okf,
-            jnp.where(okf > 0.0, gid, -1.0),
-            jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)),
-            jnp.zeros((NCH - 12, B), jnp.float32),
-        ],
-        axis=0,
-    )
+    return _emit_rows(rows, jcol, total, grid_x, sentinel)
 
 
 def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
@@ -156,7 +215,10 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     offs_w: [1, 2W] int32 candidate offsets window; pw: [16, 2W] candidate
     rows; jcol: [B, 1] global slot indices. Returns [16, B] output rows.
     """
-    if os.environ.get("GPT_EXPAND_V", "mm") == "dg":
+    variant = os.environ.get("GPT_EXPAND_V", "mm")
+    if variant == "bs":
+        return _expand_subblock_bs(offs_w, pw, jcol, total, grid_x, sentinel)
+    if variant == "dg":
         return _expand_subblock_dg(offs_w, pw, jcol, total, grid_x, sentinel)
     offs_nx = jnp.concatenate(
         [offs_w[:, 1:], jnp.full((1, 1), HUGE, jnp.int32)], axis=1
@@ -185,38 +247,7 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
         )
 
     rows = sel(hi) + sel(mid) + sel(lo)                  # [16, B]
-
-    offs_sel = rows[10:11, :]
-    tminx = rows[11:12, :]
-    tminy = rows[12:13, :]
-    rw = rows[13:14, :]
-    gid = rows[14:15, :]
-    B = jcol.shape[0]
-    # rect walk in exact f32 small-int arithmetic (k < 1024 = max_tiles
-    # area cap, rw >= 1: the f32 quotient can't round across an integer
-    # boundary because 1/rw >= 2^-10 exceeds half an ulp here)
-    jrow = jcol.reshape(1, B).astype(jnp.float32)        # [1, B]
-    k = jrow - offs_sel
-    rwm = jnp.maximum(rw, 1.0)
-    q = jnp.floor(k / rwm)
-    rem = k - q * rwm
-    keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
-
-    # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
-    # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
-    # invalid so it sorts past every tile segment
-    okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
-        rw > 0.5, 1.0, 0.0
-    )
-    return jnp.concatenate(
-        [
-            rows[0:10, :] * okf,
-            jnp.where(okf > 0.0, gid, -1.0),
-            jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)),
-            jnp.zeros((NCH - 12, B), jnp.float32),
-        ],
-        axis=0,
-    )
+    return _emit_rows(rows, jcol, total, grid_x, sentinel)
 
 
 def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):

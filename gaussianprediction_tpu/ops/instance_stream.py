@@ -27,13 +27,12 @@ re-expressed around one value-carrying sort:
    scatter-adds (collision-bound on TPU): sort the 4N signed corner
    contributions by flat grid index, cumsum the signs, difference the
    cumsum at each cell's boundary (one searchsorted over the sorted
-   indices), then 2D-cumsum the (gy+1, gx+1) grid -> exact padded
-   per-tile segment starts;
-5. CHUNK-alignment via DUMMY ENTRIES: for each tile, (padded-count) dummy
-   rows keyed by the tile id are appended after the reals, so the single
-   stable sort by tile id lands every tile's segment at its padded start —
-   no re-layout pass at all;
-6. one stable 2-key lax.sort by (tile id, depth) carrying the other 10
+   indices), then 2D-cumsum the (gy+1, gx+1) grid -> exact per-tile
+   segment starts (UNALIGNED, round 3: the blend kernels stream
+   CHUNK-aligned windows and lane-mask neighbour tiles' instances, so
+   the per-tile dummy padding rows — and their T*CHUNK extra rows
+   through the tile sort — no longer exist);
+5. one stable 2-key lax.sort by (tile id, depth) carrying the other 10
    live channels (contiguous rows of the kernel's SoA output); within a
    tile, equal depths keep original-index order — identical to the
    oracle's stable depth argsort.
@@ -232,36 +231,28 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         :grid_y, :grid_x
     ].reshape(-1)                                  # [T]
 
-    padded_t = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
-    pstart = (jnp.cumsum(padded_t) - padded_t).astype(jnp.int32)
-
-    # 5. dummy alignment entries, built as a [T, CHUNK] broadcast (the
-    # round-1 repeat/tile + random [TC] gather cost several ms at T=2500).
-    # The dummy region is extended so the total buffer is a multiple of
-    # the interleave kernel's block (extra rows carry the sentinel key and
-    # sort harmlessly past every tile segment).
-    TC = num_tiles * CHUNK
-    Pp = cap512 + TC
+    # 5. (round 3) NO alignment dummies: the blend kernels accept UNALIGNED
+    # segments (rasterize_pallas streams CHUNK-aligned windows and
+    # lane-masks neighbour tiles' instances at the edges), so segment
+    # starts are exactly the cumsum of the tile counts, and the tile sort
+    # runs over the slot buffer alone — T*CHUNK (~320k at 800²) fewer rows
+    # through the 12-operand sort, and the [T, CHUNK] dummy build + its
+    # concatenations disappear. Only the interleave kernel's lane-block
+    # alignment still pads (< ILV_BLK sentinel-keyed rows).
+    pstart = (jnp.cumsum(counts_t) - counts_t).astype(jnp.int32)
     ILV = expand_pallas.ILV_BLK
-    Pp = ((Pp + ILV - 1) // ILV) * ILV
-    pad_extra = Pp - cap512 - TC
-    need = (padded_t - counts_t)[:, None]                  # [T, 1]
-    rank = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]     # [1, CHUNK]
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
-    d_key = jnp.concatenate([
-        jnp.where(rank < need, tile_ids, sentinel).reshape(-1),
-        jnp.full((pad_extra,), sentinel, jnp.int32),
-    ])
-    d_zero = jnp.zeros((TC + pad_extra,), jnp.float32)
+    Pp = ((cap512 + ILV - 1) // ILV) * ILV
+    pad_extra = Pp - cap512
+    d_key = jnp.full((pad_extra,), sentinel, jnp.int32)
+    d_zero = jnp.zeros((pad_extra,), jnp.float32)
 
     # 6. ONE stable 2-KEY sort by (tile id, depth) CARRYING the other 10
     # channels as sort values — the second key replaces the retired
     # per-Gaussian depth sort (exp_r3stream: +0.26 ms vs 1-key at this
-    # shape, vs 6.6 ms for the 16-op depth sort it removes). Dummies carry
-    # z = +inf-class so they land after every real instance of their tile.
-    # Operands are contiguous row slices of the kernel's SoA output; the
-    # [16, Pp] SoA is assembled by the Pallas interleave kernel (XLA's
-    # stack emitter costs ~18 ms fused after the sort, exp_tilesort S3-S2).
+    # shape, vs 6.6 ms for the 16-op depth sort it removes). Operands are
+    # contiguous row slices of the kernel's SoA output; the [16, Pp] SoA
+    # is assembled by the Pallas interleave kernel (XLA's stack emitter
+    # costs ~18 ms fused after the sort, exp_tilesort S3-S2).
     all_key = jnp.concatenate([key, d_key])
     z_all = jnp.concatenate(
         [inst_soa[9], d_zero + jnp.float32(3e38)]

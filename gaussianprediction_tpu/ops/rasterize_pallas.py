@@ -4,10 +4,15 @@ TPU-native re-design of renderCUDA fwd/bwd from
 diff-gaussian-rasterization-w-depth (reference submodule N1; SURVEY.md §2.2,
 §7.3). Architecture:
 
-- Gaussians are pre-binned into depth-ordered, CHUNK-ALIGNED per-tile
-  instance segments (ops/binning.py) and packed into a [16, P] float32 SoA
-  (channels on sublanes, instances on lanes: chunked DMA slices are then
-  [16, 128] — lane-tile aligned, which Mosaic requires).
+- Gaussians are pre-binned into depth-ordered per-tile instance segments
+  (ops/instance_stream.py) and packed into a [16, P] float32 SoA (channels
+  on sublanes, instances on lanes: chunked DMA slices are then [16, 128] —
+  lane-tile aligned, which Mosaic requires). Segments need NOT be
+  CHUNK-aligned: each tile's kernel program DMAs CHUNK-aligned windows
+  covering its [start, end) range and lane-masks the neighbours' instances
+  at the boundaries (round 3 — alignment previously required per-tile
+  dummy padding rows, whose construction cost a corner-histogram sort and
+  ~T*CHUNK extra rows through the big tile sort).
 - The FORWARD kernel runs one program per 16x16 tile. It streams its
   instance segment from HBM in double-buffered [16, CHUNK] chunks, computes
   the alpha matrix A[256 pixels, CHUNK] on the VPU, turns the sequential
@@ -23,10 +28,14 @@ diff-gaussian-rasterization-w-depth (reference submodule N1; SURVEY.md §2.2,
   Q = Σ_j w_j v_j + dT·T_final (precomputed per pixel from forward outputs),
   the alpha gradient is dα_i = T_i·v_i - (Q - S_i)/(1-α_i) with S_i the
   running inclusive prefix of w·v — a single sweep, no reverse pass, no
-  atomics: every instance's gradient column is written exactly once by the
-  one tile that owns it (chunk alignment guarantees no cross-tile overlap),
-  and the per-Gaussian reduction happens outside as the VJP of the
-  differentiable jnp gather that packed the instances.
+  atomics: every instance's gradient column is computed by the one tile
+  that owns it. Gradient CHUNK-blocks that straddle a segment boundary are
+  shared between neighbouring tiles' programs; the head block is handled
+  by read-modify-write, which is race-free because the Pallas TPU grid is
+  SEQUENTIAL on the single v5e TensorCore (dimension_semantics=arbitrary)
+  and each program drains its write DMAs before retiring. The per-Gaussian
+  reduction happens outside as the VJP of the differentiable jnp gather
+  that packed the instances.
 - CUDA parity notes: alpha is clamped at 0.99 for blending but its gradient
   propagates through the *unclamped* expression, exactly as the CUDA
   backward does; gradients flow only through contributing Gaussians.
@@ -46,8 +55,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PIX = 256          # pixels per 16x16 tile (sublane dim of the alpha matrix)
-CHUNK = 128        # instance ALIGNMENT quantum (tile segments are padded to
-                   # multiples of this by the binning stage)
+CHUNK = 128        # DMA alignment quantum: kernels stream CHUNK-aligned
+                   # windows (segments themselves need not be aligned)
 # streaming width of the blend kernels: KCHUNK = CHUNK * GPT_KCHUNK_X lanes
 # per inner iteration. Both kernels are ~0.8 us/iteration fixed-cost bound
 # (11.3 + 15.8 ms fwd+bwd at 18.5k chunk-iterations) while the VPU math is
@@ -108,13 +117,14 @@ def _inclusive_scan(x, op, identity):
     return y
 
 
-def _chunk_quantities(data, px, py, T_in, done_in, remaining):
+def _chunk_quantities(data, px, py, T_in, done_in, lo, hi):
     """Shared fwd/bwd per-chunk math.
 
-    data: [NCH, KCHUNK] packed instances; remaining: [] int32 lanes of the
-    real segment left at this chunk's offset — lanes beyond it belong to
-    the NEXT tile's segment when KCHUNK > CHUNK and must be masked (within
-    the CHUNK-padded region they are zero-valid dummies already);
+    data: [NCH, KCHUNK] packed instances; lo/hi: [] int32 lane bounds of
+    this tile's segment within the chunk (the chunk windows are
+    CHUNK-aligned while segments are not, so leading lanes < lo and
+    trailing lanes >= hi belong to NEIGHBOUR tiles' segments and must be
+    masked);
     px/py: [PIX, 1] pixel centers;
     T_in: [PIX, 1] carried transmittance; done_in: [PIX, 1] f32 0/1 done
     latch (booleans are avoided in while-loop carries — Mosaic cannot
@@ -141,7 +151,7 @@ def _chunk_quantities(data, px, py, T_in, done_in, remaining):
     op = data[C_OP:C_OP + 1, :]
     vch = data[C_VALID:C_VALID + 1, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, data.shape[1]), 1)
-    in_seg = lane < remaining          # [1, KCHUNK]
+    in_seg = (lane >= lo) & (lane < hi)  # [1, KCHUNK]
 
     dx = px - mx                       # [PIX, CHUNK]
     dy = py - my
@@ -187,12 +197,16 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
+    # segments are NOT CHUNK-aligned: stream CHUNK-aligned windows from
+    # the aligned-down offset and lane-mask the neighbours at the edges
+    off0 = (start // CHUNK) * CHUNK
     seg = end - start
-    nchunks = pl.cdiv(seg, KCHUNK)
+    span = end - off0
+    nchunks = jnp.where(seg > 0, pl.cdiv(span, KCHUNK), 0)
     px, py = _pixel_coords(t, grid_x)
 
     def get_dma(slot, c):
-        off = pl.multiple_of(start + c * KCHUNK, CHUNK)
+        off = pl.multiple_of(off0 + c * KCHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, KCHUNK)],
             chunk_vmem.at[slot],
@@ -216,7 +230,9 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
         get_dma(c % 2, c).wait()
         data = chunk_vmem[c % 2]
-        q = _chunk_quantities(data, px, py, T, done, seg - c * KCHUNK)
+        q = _chunk_quantities(data, px, py, T, done,
+                              start - off0 - c * KCHUNK,
+                              span - c * KCHUNK)
         rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
         w = q["w"]                              # [PIX, KCHUNK]
         acc = acc + jax.lax.dot_general(
@@ -256,17 +272,32 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
 
 def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
-                dinst_ref, chunk_vmem, dchunk_vmem, sems, wsems, *, grid_x):
+                dinst_ref, chunk_vmem, dchunk_vmem, old_vmem, sems, wsems,
+                rmw_sem, *, grid_x):
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
+    off0 = (start // CHUNK) * CHUNK
     seg = end - start
-    nchunks = pl.cdiv(seg, KCHUNK)
-    # lanes of the CHUNK-padded segment: gradient writes must stay inside
-    # it (beyond lives the NEXT tile's segment, owned by another program)
-    padded_len = pl.cdiv(seg, CHUNK) * CHUNK
+    span = end - off0
+    nchunks = jnp.where(seg > 0, pl.cdiv(span, KCHUNK), 0)
+    # The HEAD gradient block [off0, off0+CHUNK) is shared with the
+    # PREDECESSOR tile's segment when start is unaligned: its already-
+    # written lanes are read back and added to ours (read-modify-write —
+    # race-free: the grid is sequential on the single core and every
+    # program drains its write DMAs before retiring). All other blocks
+    # contain only this tile's lanes plus SUCCESSOR lanes, which are
+    # written as zeros here and read-modify-written by the successor.
+    need_rmw = (start > off0) & (nchunks > 0)
     NH = KCHUNK // CHUNK
     px, py = _pixel_coords(t, grid_x)
+
+    @pl.when(need_rmw)
+    def _():
+        pltpu.make_async_copy(
+            dinst_ref.at[:, pl.ds(pl.multiple_of(off0, CHUNK), CHUNK)],
+            old_vmem, rmw_sem,
+        ).start()
 
     dpix = dpix_ref[0]                     # [PIX, 8]
     d_rgbz = dpix[:, D_R:D_R + 4]          # [PIX, 4]
@@ -293,7 +324,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     oy = (tile_y * 16).astype(jnp.float32)
 
     def get_dma(slot, c):
-        off = pl.multiple_of(start + c * KCHUNK, CHUNK)
+        off = pl.multiple_of(off0 + c * KCHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, KCHUNK)],
             chunk_vmem.at[slot],
@@ -301,7 +332,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         )
 
     def put_dma_h(slot, c, h):
-        off = pl.multiple_of(start + c * KCHUNK + h * CHUNK, CHUNK)
+        off = pl.multiple_of(off0 + c * KCHUNK + h * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dchunk_vmem.at[slot, :, pl.ds(h * CHUNK, CHUNK)],
             dinst_ref.at[:, pl.ds(off, CHUNK)],
@@ -309,7 +340,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         )
 
     def h_in_seg(c, h):
-        return (c * KCHUNK + h * CHUNK) < padded_len
+        return (c * KCHUNK + h * CHUNK) < span
 
     def put_start(slot, c):
         for h in range(NH):
@@ -340,7 +371,9 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         get_dma(c % 2, c).wait()
         data = chunk_vmem[c % 2]
-        q = _chunk_quantities(data, px, py, T, done, seg - c * KCHUNK)
+        q = _chunk_quantities(data, px, py, T, done,
+                              start - off0 - c * KCHUNK,
+                              span - c * KCHUNK)
         w, contribute = q["w"], q["contribute"]
 
         rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
@@ -404,6 +437,20 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
              jnp.zeros((NCH - 10, KCHUNK), jnp.float32)],
             axis=0,
         )
+
+        # merge the PREDECESSOR's gradients into the shared head block
+        # (its lanes are zero in our dchunk thanks to the in_seg mask, and
+        # our lanes are zero in its write, so the sum is exact)
+        @pl.when((c == 0) & need_rmw)
+        def _():
+            pltpu.make_async_copy(
+                dinst_ref.at[:, pl.ds(pl.multiple_of(off0, CHUNK), CHUNK)],
+                old_vmem, rmw_sem,
+            ).wait()
+            dchunk_vmem[0, :, pl.ds(0, CHUNK)] = (
+                dchunk_vmem[0, :, pl.ds(0, CHUNK)] + old_vmem[...]
+            )
+
         put_start(c % 2, c)
         return c + 1, q["T_out"], q["done_out"], S + jnp.sum(wv, axis=1, keepdims=True)
 
@@ -444,7 +491,10 @@ def rasterize_binned(instT, tile_start, tile_end, grid_x, grid_y,
     instT: [16, P] float32 packed instance SoA (rows = channel constants;
     the layout the kernels DMA directly — keep data in this orientation
     end-to-end, transposes of [P,16] cost real HBM bandwidth);
-    tile_start/tile_end: [T] int32 CHUNK-aligned segment ranges;
+    tile_start/tile_end: [T] int32 segment ranges — need NOT be
+    CHUNK-aligned, but segments must be non-overlapping and ordered by
+    tile index (the backward's head-block read-modify-write assumes the
+    sharer of a straddled block is an EARLIER grid program);
     returns out_f [T, 256, 8] float32 (channels: r,g,b,depth,T_final,
     w_max, best_gid, pad).
     """
@@ -517,8 +567,10 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         scratch_shapes=[
             pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
             pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
+            pltpu.VMEM((NCH, CHUNK), jnp.float32),    # RMW head-block readback
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, KCHUNK // CHUNK)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     dinstT = pl.pallas_call(

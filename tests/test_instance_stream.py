@@ -102,8 +102,11 @@ class TestFastVsSlowBinning:
         starts = np.asarray(stream.tile_start)
         ends = np.asarray(stream.tile_end)
         inst = np.asarray(stream.inst).T  # SoA [16, P'] -> rows
-        assert (starts % rp.CHUNK == 0).all()
+        # segments are UNALIGNED (round 3) but contiguous and ordered:
+        # tile t+1 starts exactly where tile t ends
         assert (ends >= starts).all()
+        np.testing.assert_array_equal(starts[1:], ends[:-1])
+        assert starts[0] == 0
         gid = inst[:, rp.C_GID]
         validch = inst[:, rp.C_VALID]
         for t in range(12):
