@@ -53,11 +53,12 @@ STEP = BSLOT * SUB # instance slots per grid step
 # the offs row fit comfortably in VMEM (~16 MB/core), load them ONCE and
 # slice candidate windows in-VMEM — zero window DMAs. At 200k Gaussians
 # permat is 12.8 MB; the windowed fallback covers larger N.
-RSUB = 64          # sub-blocks per grid step in the resident kernel: grid
-                   # steps cost ~4.3 us fixed (E1 write-only bisect:
-                   # 4.25 ms at 977 steps), so the kernel loops RSUB
-                   # sub-blocks per step with lax.fori_loop (no unroll —
-                   # compile time stays flat in RSUB)
+RSUB = 64          # sub-blocks per grid step in the resident kernel,
+                   # UNROLLED into one straight-line body with a single
+                   # whole-step store (lax.fori_loop cost ~1.2 us per
+                   # sub-block — no software pipelining across iterations;
+                   # exp_expandbisect E0: unrolled 4.2 ms vs loop 19 ms at
+                   # capacity 2M, write-only floor 3.3 ms, compile ~2 s)
 ALIGN = BSLOT * max(SUB, RSUB)   # capacity rounding for both kernels
 # Resident-path budget derived from the VMEM envelope rather than pinned by
 # hand (ADVICE r2): VMEM minus the double-buffered [16, RSUB*BSLOT] output
@@ -111,15 +112,16 @@ def _emit_rows(rows, jcol, total, grid_x: int, sentinel: int):
     okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
         rw > 0.5, 1.0, 0.0
     )
-    return jnp.concatenate(
-        [
-            rows[0:10, :] * okf,
-            jnp.where(okf > 0.0, gid, -1.0),
-            jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)),
-            jnp.zeros((NCH - 12, B), jnp.float32),
-        ],
-        axis=0,
+    # assemble the [16, B] output with sublane-iota SELECTS, not a
+    # (10,1,1,4)-piece sublane concatenate — Mosaic lowers misaligned
+    # sublane concats as shift-copy cascades (~2x the whole kernel's math)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 0)
+    out = jnp.where(riota < 10, rows * okf, 0.0)
+    out = jnp.where(riota == 10, jnp.where(okf > 0.0, gid, -1.0), out)
+    out = jnp.where(
+        riota == 11, jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)), out
     )
+    return out
 
 
 def _expand_subblock_bs(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
@@ -143,24 +145,29 @@ def _expand_subblock_bs(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     B = jcol.shape[0]
     W2 = offs_w.shape[1]
     half = W2 // 2
+    SL = 8  # Mosaic's dynamic_gather fails to lower 1-sublane tables;
+            # run the search at the native f32 sublane count instead
     offs_f = offs_w.astype(jnp.float32)
-    jf = jcol.reshape(1, B).astype(jnp.float32)
-    t0, t1 = offs_f[:, :half], offs_f[:, half:]
+    jf = jnp.broadcast_to(jcol.reshape(1, B).astype(jnp.float32), (SL, B))
+    # concatenate (not broadcast_to) materializes the replicated table:
+    # Mosaic's dynamic_gather rejects sublane-broadcast operand layouts
+    t0 = jnp.concatenate([offs_f[:, :half]] * SL, axis=0)
+    t1 = jnp.concatenate([offs_f[:, half:]] * SL, axis=0)
 
-    def lut(idx):                                   # [1, B] int32 -> f32
+    def lut(idx):                                   # [SL, B] int32 -> f32
         i0 = jnp.minimum(idx, half - 1)
         i1 = jnp.clip(idx - half, 0, half - 1)
         v0 = jnp.take_along_axis(t0, i0, axis=1)
         v1 = jnp.take_along_axis(t1, i1, axis=1)
         return jnp.where(idx < half, v0, v1)
 
-    lo = jnp.zeros((1, B), jnp.int32)
+    lo = jnp.zeros((SL, B), jnp.int32)
     w = W2
     while w > 1:
         w //= 2
         probe = lo + w
         lo = jnp.where(lut(probe) <= jf, probe, lo)
-    gi = lo                                          # [1, B] candidate index
+    gi = lo[0:1]                                     # [1, B] candidate index
 
     idx_lo = jnp.broadcast_to(jnp.minimum(gi, half - 1), (NCH, B))
     idx_hi = jnp.broadcast_to(jnp.clip(gi - half, 0, half - 1), (NCH, B))
@@ -215,11 +222,17 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     offs_w: [1, 2W] int32 candidate offsets window; pw: [16, 2W] candidate
     rows; jcol: [B, 1] global slot indices. Returns [16, B] output rows.
     """
+    # measurement-only ablations (exp_expandbisect2): wrong results, real
+    # structure. "noemit" skips the rect walk/masking; "nomm" skips the
+    # selection matmuls; "nooh" skips the one-hot too (windows + write).
+    ablate = os.environ.get("GPT_EXPAND_ABLATE", "")
     variant = os.environ.get("GPT_EXPAND_V", "mm")
     if variant == "bs":
         return _expand_subblock_bs(offs_w, pw, jcol, total, grid_x, sentinel)
     if variant == "dg":
         return _expand_subblock_dg(offs_w, pw, jcol, total, grid_x, sentinel)
+    if ablate == "nooh":
+        return pw[:, : jcol.shape[0]]
     offs_nx = jnp.concatenate(
         [offs_w[:, 1:], jnp.full((1, 1), HUGE, jnp.int32)], axis=1
     )
@@ -234,6 +247,9 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     # in bf16. Mosaic rejects per-operand dot precision, so the split
     # is done by hand; f32 accumulation of the three selected terms
     # reconstructs the value exactly.
+    if ablate == "nomm":
+        rows = pw[:, : jcol.shape[0]] + jnp.sum(oh, axis=1)[None, :]
+        return _emit_rows(rows, jcol, total, grid_x, sentinel)
     oh_bf = oh.astype(jnp.bfloat16)
     hi = pw.astype(jnp.bfloat16)
     r1 = pw - hi.astype(jnp.float32)
@@ -247,6 +263,10 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
         )
 
     rows = sel(hi) + sel(mid) + sel(lo)                  # [16, B]
+    if ablate == "noemit":
+        return rows
+    if ablate == "1pass":
+        return _emit_rows(sel(hi) * 3.0, jcol, total, grid_x, sentinel)
     return _emit_rows(rows, jcol, total, grid_x, sentinel)
 
 
@@ -293,43 +313,45 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
         pltpu.make_async_copy(pm_hbm, pm_vmem, sems.at[0]).wait()
         pltpu.make_async_copy(of_hbm, of_vmem, sems.at[1]).wait()
 
-    def body(i, carry):
-        base = (b * RSUB + i) * BSLOT
+    # UNROLLED sub-block loop with ONE whole-step store (round 3): the
+    # lax.fori_loop form cost ~1.2 us per sub-block — Mosaic cannot
+    # software-pipeline across loop iterations, and each iteration paid a
+    # scalar q read, two pl.when branches and a dynamic out_ref store.
+    # The unrolled body with a single [NCH, RSUB*BSLOT] store measured
+    # 4.2 ms at capacity 2M vs 19 ms for the loop (exp_expandbisect E0;
+    # the write-only floor is 3.3 ms). Compile time stays ~2 s.
+    step_base = b * (RSUB * BSLOT)
 
-        # tail skip: a sub-block entirely past `total` holds only invalid
-        # slots — write the constant invalid block (gid -1, key sentinel)
-        # without window reads or selection math. With probe-sized
-        # capacity (>= 1.2x total) this trims the ~17% tail for free.
-        @pl.when(base < total)
-        def _live():
+    # whole-step tail skip: a grid step entirely past `total` holds only
+    # invalid slots — write the constant invalid block without window
+    # reads or selection math (probe-sized capacity leaves a ~17-24% tail)
+    @pl.when(step_base >= total)
+    def _tail():
+        out_ref[...] = jnp.concatenate(
+            [
+                jnp.zeros((10, RSUB * BSLOT), jnp.float32),
+                jnp.full((1, RSUB * BSLOT), -1.0, jnp.float32),
+                jnp.full((1, RSUB * BSLOT), float(sentinel), jnp.float32),
+                jnp.zeros((NCH - 12, RSUB * BSLOT), jnp.float32),
+            ],
+            axis=0,
+        )
+
+    @pl.when(step_base < total)
+    def _live():
+        outs = []
+        for i in range(RSUB):
             q = q_ref[b * RSUB + i]
             off0 = pl.multiple_of(q * WCAND, WCAND)
             offs_w = of_vmem[:, pl.ds(off0, 2 * WCAND)]
             pw = pm_vmem[:, pl.ds(off0, 2 * WCAND)]
-            jcol = base + jax.lax.broadcasted_iota(
+            jcol = (b * RSUB + i) * BSLOT + jax.lax.broadcasted_iota(
                 jnp.int32, (BSLOT, 1), 0
             )
-            out_ref[:, pl.ds(pl.multiple_of(i * BSLOT, BSLOT), BSLOT)] = (
+            outs.append(
                 _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
             )
-
-        @pl.when(base >= total)
-        def _tail():
-            out_ref[:, pl.ds(pl.multiple_of(i * BSLOT, BSLOT), BSLOT)] = (
-                jnp.concatenate(
-                    [
-                        jnp.zeros((10, BSLOT), jnp.float32),
-                        jnp.full((1, BSLOT), -1.0, jnp.float32),
-                        jnp.full((1, BSLOT), float(sentinel), jnp.float32),
-                        jnp.zeros((NCH - 12, BSLOT), jnp.float32),
-                    ],
-                    axis=0,
-                )
-            )
-
-        return carry
-
-    jax.lax.fori_loop(0, RSUB, body, jnp.int32(0))
+        out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
 ILV_BLK = 32768    # lanes per interleave grid step
@@ -340,12 +362,13 @@ def _interleave_kernel(*refs):
     out_ref = refs[-1]                    # [16, ILV_BLK]
     gid = ins[10][...]
     valid = (gid >= 0.0).astype(jnp.float32)
-    zeros = jnp.zeros_like(gid)
-    out_ref[...] = jnp.concatenate(
-        [ins[c][...] for c in range(10)]
-        + [gid, valid, zeros, zeros, zeros, zeros],
-        axis=0,
-    )
+    # per-sublane-row stores, NOT a 16-piece sublane concatenate (Mosaic
+    # lowers misaligned sublane concats as shift-copy cascades)
+    for c in range(10):
+        out_ref[c:c + 1, :] = ins[c][...]
+    out_ref[10:11, :] = gid
+    out_ref[11:12, :] = valid
+    out_ref[12:16, :] = jnp.zeros((4, gid.shape[1]), jnp.float32)
 
 
 def interleave_rows(chans, interpret=None):
@@ -380,7 +403,13 @@ def interleave_rows(chans, interpret=None):
     )(*in2d)
 
 
-STK_BLK = 2048     # lanes per stack_rows grid step
+STK_BLK = 8192     # lanes per stack_rows grid step. The kernel is
+                   # DMA-ISSUE bound (16 window DMAs per step); 2048-lane
+                   # steps measured 3.2 ms at N=200k (103 steps x 16 DMAs),
+                   # ~the same as XLA's stack emitter. 8192 cuts the issue
+                   # count 4x while keeping the implied permat padding
+                   # (Np = round_up(N + 2*WCAND, STK_BLK)) small enough
+                   # that 200k-Gaussian permats stay under RES_MAX_BYTES.
 
 
 def _stack_kernel(*refs):
@@ -388,10 +417,11 @@ def _stack_kernel(*refs):
     out_ref = refs[-1]
     k = len(ins)
     pad = out_ref.shape[0] - k
-    blocks = [r[...] for r in ins]
+    # per-sublane-row stores (see _interleave_kernel)
+    for c in range(k):
+        out_ref[c:c + 1, :] = ins[c][...]
     if pad:
-        blocks.append(jnp.zeros((pad, out_ref.shape[1]), jnp.float32))
-    out_ref[...] = jnp.concatenate(blocks, axis=0)
+        out_ref[k:, :] = jnp.zeros((pad, out_ref.shape[1]), jnp.float32)
 
 
 def stack_rows(chans, nch: int = NCH, interpret=None):

@@ -23,15 +23,15 @@ re-expressed around one value-carrying sort:
    matmul kernel (ops/expand_pallas.py) — no scatter, no gather; emits the
    [16, P] channel-major SoA directly (empty Gaussians' singletons emit
    gid -1 / sentinel key);
-4. per-tile counts via the 2D CORNER-DIFFERENCE histogram, built WITHOUT
-   scatter-adds (collision-bound on TPU): sort the 4N signed corner
-   contributions by flat grid index, cumsum the signs, difference the
-   cumsum at each cell's boundary (one searchsorted over the sorted
-   indices), then 2D-cumsum the (gy+1, gx+1) grid -> exact per-tile
-   segment starts (UNALIGNED, round 3: the blend kernels stream
-   CHUNK-aligned windows and lane-mask neighbour tiles' instances, so
-   the per-tile dummy padding rows — and their T*CHUNK extra rows
-   through the tile sort — no longer exist);
+4. per-tile counts via ONE MXU contraction: rects are separable, so the
+   count grid is Rᵀ @ C over the per-Gaussian 0/1 row/column tile-interval
+   indicators (exact in bf16 with f32 accumulation; round 3 — replaces
+   the sort-based corner-difference histogram, itself a replacement for
+   collision-bound scatter-adds). Segment starts are the plain cumsum
+   (UNALIGNED, round 3: the blend kernels stream CHUNK-aligned windows
+   and lane-mask neighbour tiles' instances, so the per-tile dummy
+   padding rows — and their T*CHUNK extra rows through the tile sort —
+   no longer exist);
 5. one stable 2-key lax.sort by (tile id, depth) carrying the other 10
    live channels (contiguous rows of the kernel's SoA output); within a
    tile, equal depths keep original-index order — identical to the
@@ -201,35 +201,27 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     )  # [16, cap512]: feat(10), gid, key, 0,0,0,0
     key = inst_soa[11].astype(jnp.int32)
 
-    # 4. per-tile counts via corner-difference histogram
-    gx1, gy1 = grid_x + 1, grid_y + 1
-    x0 = x0c
-    y0 = y0c
-    x1 = x0 + rw
-    y1 = y0 + rh
-    one = jnp.where(rw * rh > 0, 1, 0)
-    # SORT-based signed histogram of the 4N corner contributions: a
-    # scatter-add of 4N values into a ~2.6k-entry grid is collision-bound
-    # (~9 ms measured — XLA serializes colliding updates; same pathology
-    # as the hash-grid table gradients), while a 2-op sort at 800k is
-    # ~1.5 ms. Sort (flat corner index, signed one), cumsum the signs, and
-    # take boundary differences at each grid cell's end (exclusive-prefix
-    # searchsorted over the sorted index array). Rects are pre-clipped to
-    # the grid so every flat index is in bounds.
-    cidx = jnp.concatenate(
-        [y0 * gx1 + x0, y0 * gx1 + x1, y1 * gx1 + x0, y1 * gx1 + x1]
-    )
-    cval = jnp.concatenate([one, -one, -one, one])
-    G = gy1 * gx1
-    sidx, sval = jax.lax.sort((cidx, cval), num_keys=1)
-    cs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sval)]
-    )
-    ends = jnp.searchsorted(sidx, jnp.arange(G + 1, dtype=jnp.int32))
-    grid = (cs[ends[1:]] - cs[ends[:-1]]).reshape(gy1, gx1)
-    counts_t = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
-        :grid_y, :grid_x
-    ].reshape(-1)                                  # [T]
+    # 4. per-tile counts via ONE MXU contraction (round 3; replaces the
+    # sort-based corner-difference histogram, 6.6 ms -> ~0.3 ms): each
+    # capped rect is separable, so
+    #   counts[ty, tx] = Σ_g row_g(ty) · col_g(tx)
+    # with row/col the 0/1 tile-interval indicators — i.e. counts = Rᵀ @ C
+    # for R [N, gy], C [N, gx]. The indicators are exact in bf16 and the
+    # MXU accumulates in f32, which is exact for integer sums < 2^24.
+    tyv = jnp.arange(grid_y, dtype=jnp.int32)[None, :]
+    txv = jnp.arange(grid_x, dtype=jnp.int32)[None, :]
+    live = ((rw > 0) & (rh > 0))[:, None]
+    Rind = (
+        (y0c[:, None] <= tyv) & (tyv < (y0c + rh)[:, None]) & live
+    ).astype(jnp.bfloat16)                          # [N, gy]
+    Cind = (
+        (x0c[:, None] <= txv) & (txv < (x0c + rw)[:, None])
+    ).astype(jnp.bfloat16)                          # [N, gx]
+    grid = jax.lax.dot_general(
+        Rind, Cind, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # [gy, gx]
+    counts_t = grid.astype(jnp.int32).reshape(-1)   # [T]
 
     # 5. (round 3) NO alignment dummies: the blend kernels accept UNALIGNED
     # segments (rasterize_pallas streams CHUNK-aligned windows and
@@ -321,12 +313,22 @@ def build_instances_bwd(residuals, d_inst):
     ends = n_neg + jnp.cumsum(counts_id)
     starts = ends - counts_id
 
-    if os.environ.get("GPT_BWD_BATCHED_CUMSUM", "0") == "1":
+    mode = os.environ.get("GPT_BWD_REDUCE", None) or (
+        "batched" if os.environ.get("GPT_BWD_BATCHED_CUMSUM", "0") == "1"
+        else "serial"
+    )
+    if mode in ("batched", "pallas"):
         # ONE [16, Pp] lane-axis cumsum instead of 10 serial 1-D cumsums
-        # (A/B via exp_bwdstream; the interleave kernel assembles the
-        # stack, rows 10-15 are zero/aux and ride along)
+        # (the interleave kernel assembles the stack, rows 10-15 are
+        # zero/aux and ride along). 'pallas' scans all rows in a single
+        # streaming HBM pass (ops/scan_pallas.py) instead of XLA's ~21
+        # log-passes per channel.
         mat = expand_pallas.interleave_rows(b[1:] + (b[0].astype(jnp.float32),))
-        cs = jnp.cumsum(mat, axis=1)              # [16, Pp] inclusive
+        if mode == "pallas":
+            from gaussianprediction_tpu.ops import scan_pallas
+            cs = scan_pallas.cumsum_rows(mat)     # [16, Pp] inclusive
+        else:
+            cs = jnp.cumsum(mat, axis=1)          # [16, Pp] inclusive
         e1 = jnp.maximum(ends - 1, 0)
         s1 = jnp.maximum(starts - 1, 0)
         cols = []

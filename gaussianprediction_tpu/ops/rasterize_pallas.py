@@ -89,15 +89,29 @@ def _interpret_default() -> bool:
 
 
 def _bwd_precision():
-    """Backward-kernel matmul precision (v / moment dots). HIGHEST (6
+    """Backward-kernel precision for the v dot (K=4, cheap). HIGHEST (6
     bf16 passes) measured 3e-4 relative gradient error better than
-    DEFAULT on v5e; GPT_BWD_PRECISION=high trades ~half the matmul passes
-    for ~1e-5-class error (A/B via exp/, not yet the default)."""
+    DEFAULT on v5e. (Precision.HIGH does not lower through Mosaic.)"""
     return {
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[os.environ.get("GPT_BWD_PRECISION", "highest").lower()]
+
+
+def _split2(x):
+    """x == hi + mid + O(2^-16 |x|) with hi/mid exact bf16 terms."""
+    hi = x.astype(jnp.bfloat16)
+    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid
+
+
+def _split3(x):
+    """Exact bf16x3 decomposition of f32 (24 mantissa bits = 3x8)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _shift_right(x, s, fill):
@@ -235,10 +249,21 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
                               span - c * KCHUNK)
         rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
         w = q["w"]                              # [PIX, KCHUNK]
-        acc = acc + jax.lax.dot_general(
-            w, rgbz, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                       # [PIX, 4]
+        # color accumulation at bf16 2x2 split precision: the v5e MXU
+        # truncates f32 operands to bf16 at DEFAULT, which puts ~0.4-1.5%
+        # error on accumulated pixel colors — a ~40 dB PSNR ceiling on the
+        # rendered image (TPU-vs-CPU fwd parity measured 1.5e-2 max abs).
+        # Three passes (hi*hi + hi*mid + mid*hi) cut that to ~2^-16.
+        w_h, w_m = _split2(w)
+        c_h, c_m = _split2(rgbz)
+
+        def acc_dot(a_bf, b_bf):
+            return jax.lax.dot_general(
+                a_bf, b_bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = acc + acc_dot(w_h, c_h) + acc_dot(w_h, c_m) + acc_dot(w_m, c_h)
         if with_tidx:  # training never reads tidx (eval-only output)
             wm_chunk = jnp.max(w, axis=1, keepdims=True)
             gid = data[C_GID:C_GID + 1, :]
@@ -398,12 +423,20 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         # moments Σ_p dpower·{1,x,y,x²,xy,y²} (tile-local coords; see the
         # `mon` comment above): one MXU contraction, then the six channel
-        # gradients recombine on [1, CHUNK] vectors.
-        mm = jax.lax.dot_general(
-            mon, dpower, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_bwd_precision(),
-        )                                      # [8, CHUNK]
+        # gradients recombine on [1, CHUNK] vectors. The mon side is
+        # EXACT in bf16 (integer monomials <= 225), so a manual bf16x3
+        # split of dpower gives the HIGHEST-precision result in 3 MXU
+        # passes instead of 6 (Mosaic rejects per-operand precision).
+        mon_bf = mon.astype(jnp.bfloat16)
+        dp_h, dp_m, dp_l = _split3(dpower)
+
+        def mon_dot(dp_bf):
+            return jax.lax.dot_general(
+                mon_bf, dp_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        mm = mon_dot(dp_h) + mon_dot(dp_m) + mon_dot(dp_l)  # [8, CHUNK]
         s0 = mm[0:1, :]
         sx, sy = mm[1:2, :], mm[2:3, :]
         sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
@@ -422,11 +455,20 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         # dop = Σ Gv·dalpha = Σ dpower / op (contributing instances have
         # op ≥ ALPHA_MIN; zero-channel padding rows give 0/max(0,eps) = 0)
         dop = s0 / jnp.maximum(op, 1e-9)
-        # d color / d depth: [4, CHUNK] = d_rgbz^T @ w
-        dcol = jax.lax.dot_general(
-            d_rgbz, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # d color / d depth: [4, CHUNK] = d_rgbz^T @ w. Manual bf16 2x2
+        # split (4 passes, ~2^-16 relative error from the dropped mid*mid
+        # term) instead of HIGHEST's 6; DEFAULT's single bf16 pass costs
+        # ~4e-3 relative error on color gradients.
+        a_h, a_m = _split2(d_rgbz)
+        w_h, w_m = _split2(w)
+
+        def col_dot(a_bf, b_bf):
+            return jax.lax.dot_general(
+                a_bf, b_bf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dcol = col_dot(a_h, w_h) + col_dot(a_h, w_m) + col_dot(a_m, w_h)
 
         @pl.when(c >= 2)
         def _():

@@ -135,3 +135,62 @@ class TestExpandKernel:
         assert (out[10] == -1).all()
         assert (out[11] == 64).all()
         assert (out[0:10] == 0).all()
+
+
+class TestScanPallas:
+    def test_cumsum_rows_matches_jnp(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.ops import scan_pallas
+        rng = np.random.default_rng(3)
+        P = scan_pallas.BLK * 3
+        mat = jnp.asarray(rng.normal(size=(16, P)).astype(np.float32))
+        got = scan_pallas.cumsum_rows(mat, interpret=True)
+        want = jnp.cumsum(mat, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4
+        )
+
+    def test_bwd_reduce_modes_agree(self, monkeypatch):
+        """serial / batched / pallas backward reductions produce the same
+        per-Gaussian gradients."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussianprediction_tpu.data.synthetic import (
+            orbit_camera, random_gaussians)
+        from gaussianprediction_tpu.ops import instance_stream, projection
+
+        g = random_gaussians(60, seed=5, scale_range=(-3.4, -2.2))
+        cam = orbit_camera(0.4, width=64, height=48, uid=0).to_device_dict()
+        proj = projection.project_from_params(
+            jnp.asarray(g["xyz"]), jnp.exp(jnp.asarray(g["log_scales"])),
+            jnp.asarray(g["rotation"]), cam, 64, 48,
+        )
+        rng = np.random.default_rng(1)
+        feat0 = jnp.asarray(rng.normal(size=(60, 10)), jnp.float32)
+        s0 = instance_stream.build_instances(
+            feat0, proj.depth, proj.tiles_min, proj.tiles_max, proj.visible,
+            4, 3, 2048, 64,
+        )
+        weights = jnp.asarray(
+            rng.normal(size=(s0.inst.shape[1], 10)), jnp.float32
+        )
+
+        def f(feat):
+            s = instance_stream.build_instances(
+                feat, proj.depth, proj.tiles_min, proj.tiles_max,
+                proj.visible, 4, 3, 2048, 64,
+            )
+            return jnp.sum(s.inst[:10] * weights.T)
+
+        grads = {}
+        for mode in ("serial", "batched", "pallas"):
+            monkeypatch.setenv("GPT_BWD_REDUCE", mode)
+            grads[mode] = np.asarray(jax.grad(f)(feat0))
+        np.testing.assert_allclose(grads["batched"], grads["serial"],
+                                   atol=1e-5)
+        # blockwise association order differs from XLA's scan tree:
+        # equal to f32 roundoff of the running sums, not bitwise
+        np.testing.assert_allclose(grads["pallas"], grads["serial"],
+                                   atol=2e-4)
