@@ -93,6 +93,7 @@ def _emit_rows(rows, jcol, total, grid_x: int, sentinel: int):
     Rect walk in exact f32 small-int arithmetic (k < 1024 = max_tiles area
     cap, rw >= 1: the f32 quotient can't round across an integer boundary
     because 1/rw >= 2^-10 exceeds half an ulp here)."""
+    ablate = os.environ.get("GPT_EXPAND_ABLATE", "")
     B = jcol.shape[0]
     offs_sel = rows[10:11, :]
     tminx = rows[11:12, :]
@@ -102,10 +103,17 @@ def _emit_rows(rows, jcol, total, grid_x: int, sentinel: int):
     jrow = jcol.reshape(1, B).astype(jnp.float32)
     k = jrow - offs_sel
     rwm = jnp.maximum(rw, 1.0)
-    q = jnp.floor(k / rwm)
+    if ablate == "nodiv":          # measurement-only: wrong q, no divide
+        q = jnp.floor(k * rwm)
+    else:
+        q = jnp.floor(k / rwm)
     rem = k - q * rwm
     keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
+    if ablate == "nokey":          # measurement-only: skip the rect walk
+        keyf = k
 
+    if ablate == "nosel":          # measurement-only: skip the assembly
+        return rows + keyf
     # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
     # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
     # invalid so it sorts past every tile segment
@@ -339,7 +347,9 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
 
     @pl.when(step_base < total)
     def _live():
-        outs = []
+        # per-sub-block STATIC-slice stores, not a 64-wide concatenate:
+        # keeping 64 [16, BSLOT] results live for one giant store spills
+        # the vector register file
         for i in range(RSUB):
             q = q_ref[b * RSUB + i]
             off0 = pl.multiple_of(q * WCAND, WCAND)
@@ -348,10 +358,9 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
             jcol = (b * RSUB + i) * BSLOT + jax.lax.broadcasted_iota(
                 jnp.int32, (BSLOT, 1), 0
             )
-            outs.append(
-                _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
+            out_ref[:, i * BSLOT:(i + 1) * BSLOT] = _expand_subblock(
+                offs_w, pw, jcol, total, grid_x, sentinel
             )
-        out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
 ILV_BLK = 32768    # lanes per interleave grid step
