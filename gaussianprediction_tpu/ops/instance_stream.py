@@ -318,16 +318,18 @@ def build_instances_bwd(residuals, d_inst):
         else "serial"
     )
     if mode in ("batched", "pallas"):
-        # ONE [16, Pp] lane-axis cumsum instead of 10 serial 1-D cumsums
-        # (the interleave kernel assembles the stack, rows 10-15 are
-        # zero/aux and ride along). 'pallas' scans all rows in a single
-        # streaming HBM pass (ops/scan_pallas.py) instead of XLA's ~21
-        # log-passes per channel.
-        mat = expand_pallas.interleave_rows(b[1:] + (b[0].astype(jnp.float32),))
+        # ONE [16, Pp] lane-axis cumsum instead of 10 serial 1-D cumsums.
+        # 'pallas' FUSES the channel interleave with the scan in a single
+        # streaming HBM pass (ops/scan_pallas.py:cumsum_channels) — the
+        # channel matrix is never materialized; 'batched' materializes it
+        # via the interleave kernel then pays XLA's lane cumsum.
         if mode == "pallas":
             from gaussianprediction_tpu.ops import scan_pallas
-            cs = scan_pallas.cumsum_rows(mat)     # [16, Pp] inclusive
+            cs = scan_pallas.cumsum_channels(b[1:])   # [16, Pp] inclusive
         else:
+            mat = expand_pallas.interleave_rows(
+                b[1:] + (b[0].astype(jnp.float32),)
+            )
             cs = jnp.cumsum(mat, axis=1)          # [16, Pp] inclusive
         e1 = jnp.maximum(ends - 1, 0)
         s1 = jnp.maximum(starts - 1, 0)
