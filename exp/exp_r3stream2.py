@@ -155,16 +155,25 @@ def main():
     totc = jnp.minimum(total1, capacity)[None]
 
     def u2(permat):
-        soa = expand_pallas.expand_rows(
-            permat, offs_row, starts_q, totc, cap512, grid_x,
-            int(num_tiles), interpret=False)
-        return jnp.sum(soa[:, ::29])
+        raw = expand_pallas.expand_rows_raw(
+            permat, offs_row, starts_q, totc, cap512, interpret=False)
+        return jnp.sum(raw[:, ::29])
 
-    timed("U2 expand kernel", chain(u2), permat0)
+    timed("U2 expand kernel (raw)", chain(u2), permat0)
 
-    inst_soa = expand_pallas.expand_rows(
-        permat0, offs_row, starts_q, totc, cap512, grid_x, int(num_tiles),
-        interpret=False)
+    def u2b(permat):
+        raw = expand_pallas.expand_rows_raw(
+            permat, offs_row, starts_q, totc, cap512, interpret=False)
+        ch = expand_pallas.emit_from_raw(raw, totc[0], grid_x,
+                                         int(num_tiles))
+        return sum(jnp.sum(c[::29]) for c in ch)
+
+    timed("U2b expand raw + XLA emit", chain(u2b), permat0)
+
+    raw0 = expand_pallas.expand_rows_raw(
+        permat0, offs_row, starts_q, totc, cap512, interpret=False)
+    inst_soa = expand_pallas.emit_from_raw(raw0, totc[0], grid_x,
+                                           int(num_tiles))
     key0 = inst_soa[11].astype(jnp.int32)
 
     def u3(x):

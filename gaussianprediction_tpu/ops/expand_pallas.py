@@ -25,12 +25,16 @@ and no gather:
     sub-blocks cuts grid steps 4x while keeping each sub-block's narrow
     256-lane candidate window (a shared window would need 6x128 lanes
     and 3x the compare/matmul work per sub-block);
-  - the per-slot TILE KEY (ty*grid_x+tx from the rect walk) is computed
-    in-kernel in exact small-int f32 arithmetic, so the output [16, B]
-    blocks are already the channel-major SoA the tile sort consumes.
+  - (round 3) the kernel emits the RAW selected candidate rows; the
+    per-slot TILE KEY rect walk + invalid-slot masking moved to an XLA
+    pass over the whole [16, capacity] output (emit_from_raw) — per-sub-
+    block [1, 128] vreg arithmetic inside the kernel cost ~6.5 of its
+    10.5 ms while the fused XLA form is full-utilization elementwise.
 
-Output channels: rows 0-9 feat (zeroed when invalid), 10 gid (-1 when
-invalid), 11 tile key (sentinel when invalid), 12-15 zero.
+Raw output channels mirror the permat: rows 0-9 feat, 10 offs, 11 tminx,
+12 tminy, 13 rw, 14 gid, 15 zero. emit_from_raw turns them into the
+per-channel sort operands (feat zeroed / gid -1 / key sentinel when
+invalid).
 """
 from __future__ import annotations
 
@@ -85,54 +89,45 @@ def _interpret_default() -> bool:
     return platform not in ("tpu", "axon")
 
 
-def _emit_rows(rows, jcol, total, grid_x: int, sentinel: int):
-    """Shared tail of every sub-block variant: rect-walk the selected
-    per-Gaussian rows into per-slot tile keys and mask invalid slots.
+def emit_from_raw(raw, total, grid_x: int, sentinel: int):
+    """XLA emit pass over the expand kernels' RAW output (round 3): the
+    rect walk + invalid-slot masking used to run per 128-slot sub-block
+    INSIDE the kernel on 1/8-utilized [1, 128] vregs (~6.5 ms of the
+    kernel's 10.5 ms at cap 1.2M — exp_expandbisect2 X1 vs X0); as plain
+    jnp over the [16, cap] raw rows it fuses into the tile sort's operand
+    materialization at full vector utilization.
 
-    rows: [16, B] selected candidate rows; jcol: [B, 1] global slot ids.
+    raw rows: 0-9 feat, 10 offs, 11 tminx, 12 tminy, 13 rw, 14 gid.
+    Returns the per-channel tuple (feat0..9, gid, key_f32) that feeds the
+    tile sort directly (no [16, P] re-assembly).
+
     Rect walk in exact f32 small-int arithmetic (k < 1024 = max_tiles area
     cap, rw >= 1: the f32 quotient can't round across an integer boundary
-    because 1/rw >= 2^-10 exceeds half an ulp here)."""
-    ablate = os.environ.get("GPT_EXPAND_ABLATE", "")
-    B = jcol.shape[0]
-    offs_sel = rows[10:11, :]
-    tminx = rows[11:12, :]
-    tminy = rows[12:13, :]
-    rw = rows[13:14, :]
-    gid = rows[14:15, :]
-    jrow = jcol.reshape(1, B).astype(jnp.float32)
-    k = jrow - offs_sel
+    because 1/rw >= 2^-10 exceeds half an ulp here). rw == 0 flags an
+    EMPTY Gaussian's sentinel singleton slot (the no-depth-sort scheme
+    gives every Gaussian >= 1 slot): emitted invalid so it sorts past
+    every tile segment."""
+    P = raw.shape[1]
+    j = jnp.arange(P, dtype=jnp.int32)
+    offs_sel = raw[10]
+    tminx = raw[11]
+    tminy = raw[12]
+    rw = raw[13]
+    gid = raw[14]
+    k = j.astype(jnp.float32) - offs_sel
     rwm = jnp.maximum(rw, 1.0)
-    if ablate == "nodiv":          # measurement-only: wrong q, no divide
-        q = jnp.floor(k * rwm)
-    else:
-        q = jnp.floor(k / rwm)
+    q = jnp.floor(k / rwm)
     rem = k - q * rwm
     keyf = (tminy + q) * jnp.float32(grid_x) + (tminx + rem)
-    if ablate == "nokey":          # measurement-only: skip the rect walk
-        keyf = k
-
-    if ablate == "nosel":          # measurement-only: skip the assembly
-        return rows + keyf
-    # rw == 0 flags an EMPTY Gaussian's sentinel singleton slot (the
-    # no-depth-sort scheme gives every Gaussian >= 1 slot): emit it as
-    # invalid so it sorts past every tile segment
-    okf = (jcol.reshape(1, B) < total).astype(jnp.float32) * jnp.where(
-        rw > 0.5, 1.0, 0.0
-    )
-    # assemble the [16, B] output with sublane-iota SELECTS, not a
-    # (10,1,1,4)-piece sublane concatenate — Mosaic lowers misaligned
-    # sublane concats as shift-copy cascades (~2x the whole kernel's math)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (NCH, B), 0)
-    out = jnp.where(riota < 10, rows * okf, 0.0)
-    out = jnp.where(riota == 10, jnp.where(okf > 0.0, gid, -1.0), out)
-    out = jnp.where(
-        riota == 11, jnp.where(okf > 0.0, keyf, jnp.float32(sentinel)), out
-    )
-    return out
+    ok = (j < total) & (rw > 0.5)
+    okf = ok.astype(jnp.float32)
+    feat = tuple(raw[c] * okf for c in range(10))
+    gid_out = jnp.where(ok, gid, -1.0)
+    key_out = jnp.where(ok, keyf, jnp.float32(sentinel))
+    return feat + (gid_out, key_out)
 
 
-def _expand_subblock_bs(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
+def _expand_subblock_bs(offs_w, pw, jcol, total):
     """Binary-search variant (GPT_EXPAND_V=bs, the default): the per-slot
     candidate index g_loc = max{i : offs[i] <= j} is found by log2(2W) = 8
     steps of VECTORIZED binary search over the [1, 2W] offsets window —
@@ -182,10 +177,10 @@ def _expand_subblock_bs(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     sel_lo = jnp.take_along_axis(pw[:, :half], idx_lo, axis=1)
     sel_hi = jnp.take_along_axis(pw[:, half:], idx_hi, axis=1)
     rows = jnp.where(gi < half, sel_lo, sel_hi)      # [16, B]
-    return _emit_rows(rows, jcol, total, grid_x, sentinel)
+    return rows
 
 
-def _expand_subblock_dg(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
+def _expand_subblock_dg(offs_w, pw, jcol, total):
     """dynamic_gather variant of the sub-block expansion (GPT_EXPAND_V=dg).
 
     The slot->candidate one-hot is reduced to a per-slot LOCAL INDEX by one
@@ -221,24 +216,26 @@ def _expand_subblock_dg(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     lo = jnp.take_along_axis(pw[:, :half], idx_lo, axis=1)   # [16, B]
     hi = jnp.take_along_axis(pw[:, half:], idx_hi, axis=1)
     rows = jnp.where(gi < half, lo, hi)                  # [16, B]
-    return _emit_rows(rows, jcol, total, grid_x, sentinel)
+    return rows
 
 
-def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
+def _expand_subblock(offs_w, pw, jcol, total):
     """Per-sub-block expansion math shared by both kernels.
 
     offs_w: [1, 2W] int32 candidate offsets window; pw: [16, 2W] candidate
-    rows; jcol: [B, 1] global slot indices. Returns [16, B] output rows.
+    rows; jcol: [B, 1] global slot indices. Returns the [16, B] RAW
+    selected candidate rows (the rect walk / masking happens in the XLA
+    emit pass, emit_from_raw — round 3).
     """
     # measurement-only ablations (exp_expandbisect2): wrong results, real
-    # structure. "noemit" skips the rect walk/masking; "nomm" skips the
-    # selection matmuls; "nooh" skips the one-hot too (windows + write).
+    # structure. "nomm" skips the selection matmuls; "nooh" skips the
+    # one-hot too (windows + write); "1pass" uses one matmul pass.
     ablate = os.environ.get("GPT_EXPAND_ABLATE", "")
     variant = os.environ.get("GPT_EXPAND_V", "mm")
     if variant == "bs":
-        return _expand_subblock_bs(offs_w, pw, jcol, total, grid_x, sentinel)
+        return _expand_subblock_bs(offs_w, pw, jcol, total)
     if variant == "dg":
-        return _expand_subblock_dg(offs_w, pw, jcol, total, grid_x, sentinel)
+        return _expand_subblock_dg(offs_w, pw, jcol, total)
     if ablate == "nooh":
         return pw[:, : jcol.shape[0]]
     offs_nx = jnp.concatenate(
@@ -256,8 +253,7 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
     # is done by hand; f32 accumulation of the three selected terms
     # reconstructs the value exactly.
     if ablate == "nomm":
-        rows = pw[:, : jcol.shape[0]] + jnp.sum(oh, axis=1)[None, :]
-        return _emit_rows(rows, jcol, total, grid_x, sentinel)
+        return pw[:, : jcol.shape[0]] + jnp.sum(oh, axis=1)[None, :]
     oh_bf = oh.astype(jnp.bfloat16)
     hi = pw.astype(jnp.bfloat16)
     r1 = pw - hi.astype(jnp.float32)
@@ -270,15 +266,12 @@ def _expand_subblock(offs_w, pw, jcol, total, grid_x: int, sentinel: int):
             preferred_element_type=jnp.float32,
         )
 
-    rows = sel(hi) + sel(mid) + sel(lo)                  # [16, B]
-    if ablate == "noemit":
-        return rows
     if ablate == "1pass":
-        return _emit_rows(sel(hi) * 3.0, jcol, total, grid_x, sentinel)
-    return _emit_rows(rows, jcol, total, grid_x, sentinel)
+        return sel(hi) * 3.0
+    return sel(hi) + sel(mid) + sel(lo)                  # [16, B]
 
 
-def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):
+def _expand_kernel(q_ref, scal_ref, *refs):
     pms = refs[: 2 * SUB]            # pm1_i, pm2_i per sub-block
     ofs = refs[2 * SUB: 4 * SUB]     # of1_i, of2_i per sub-block
     out_ref = refs[4 * SUB]
@@ -297,14 +290,13 @@ def _expand_kernel(q_ref, scal_ref, *refs, grid_x: int, sentinel: int):
             jnp.int32, (BSLOT, 1), 0
         )                                                    # [B, 1]
         outs.append(
-            _expand_subblock(offs_w, pw, jcol, total, grid_x, sentinel)
+            _expand_subblock(offs_w, pw, jcol, total)
         )
     out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
 def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
-                       pm_vmem, of_vmem, sems, *,
-                       grid_x: int, sentinel: int):
+                       pm_vmem, of_vmem, sems):
     """Resident-VMEM variant: the [16, Np] permat and [1, Np] offs row are
     DMA'd into persistent VMEM scratch ONCE at grid step 0 (scratch
     survives across the sequential grid; a constant-index-map input block
@@ -335,15 +327,9 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
     # reads or selection math (probe-sized capacity leaves a ~17-24% tail)
     @pl.when(step_base >= total)
     def _tail():
-        out_ref[...] = jnp.concatenate(
-            [
-                jnp.zeros((10, RSUB * BSLOT), jnp.float32),
-                jnp.full((1, RSUB * BSLOT), -1.0, jnp.float32),
-                jnp.full((1, RSUB * BSLOT), float(sentinel), jnp.float32),
-                jnp.zeros((NCH - 12, RSUB * BSLOT), jnp.float32),
-            ],
-            axis=0,
-        )
+        # RAW-mode tail: all-zero rows (rw row 13 == 0) emit as invalid
+        # in the XLA pass (emit_from_raw)
+        out_ref[...] = jnp.zeros((NCH, RSUB * BSLOT), jnp.float32)
 
     @pl.when(step_base < total)
     def _live():
@@ -359,7 +345,7 @@ def _expand_kernel_res(q_ref, scal_ref, pm_hbm, of_hbm, out_ref,
                 jnp.int32, (BSLOT, 1), 0
             )
             out_ref[:, i * BSLOT:(i + 1) * BSLOT] = _expand_subblock(
-                offs_w, pw, jcol, total, grid_x, sentinel
+                offs_w, pw, jcol, total
             )
 
 
@@ -466,6 +452,19 @@ def stack_rows(chans, nch: int = NCH, interpret=None):
 
 def expand_rows(permat, offs_row, starts_q, total, capacity: int,
                 grid_x: int, sentinel: int, interpret=None):
+    """Emitted-form convenience wrapper: expand_rows_raw + emit_from_raw,
+    re-assembled to the historical [16, capacity] SoA layout (rows 0-9
+    feat, 10 gid, 11 tile key, 12-15 zero). Production callers use the
+    raw+emit pair directly so the emit fuses into their sort operands."""
+    raw = expand_rows_raw(permat, offs_row, starts_q, total, capacity,
+                          interpret=interpret)
+    chans = emit_from_raw(raw, total[0], grid_x, sentinel)
+    zeros = jnp.zeros_like(chans[0])
+    return jnp.stack(chans + (zeros,) * (NCH - len(chans)), axis=0)
+
+
+def expand_rows_raw(permat, offs_row, starts_q, total, capacity: int,
+                    interpret=None):
     """permat: [16, Np] channel-major per-Gaussian rows where EVERY
     candidate owns >= 1 slot (zero-count Gaussians carry rw == 0 and one
     sentinel singleton slot — the window-bound invariant without any sort
@@ -475,7 +474,9 @@ def expand_rows(permat, offs_row, starts_q, total, capacity: int,
     starts_q: [nb] int32 candidate-window block indices (g0 // WCAND),
     one per BSLOT sub-block.
     total: [1] int32 live instance count.
-    Returns [16, capacity] f32 SoA (capacity a multiple of ALIGN)."""
+    Returns the [16, capacity] RAW per-slot candidate rows (same channel
+    layout as permat); run emit_from_raw over them for tile keys and
+    invalid-slot masking (capacity a multiple of ALIGN)."""
     if interpret is None:
         interpret = _interpret_default()
     assert capacity % ALIGN == 0
@@ -500,9 +501,7 @@ def expand_rows(permat, offs_row, starts_q, total, capacity: int,
             ],
         )
         return pl.pallas_call(
-            functools.partial(
-                _expand_kernel_res, grid_x=grid_x, sentinel=sentinel
-            ),
+            _expand_kernel_res,
             out_shape=jax.ShapeDtypeStruct((NCH, capacity), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
@@ -534,9 +533,7 @@ def expand_rows(permat, offs_row, starts_q, total, capacity: int,
         out_specs=pl.BlockSpec((NCH, STEP), lambda b, q, s: (0, b)),
     )
     return pl.pallas_call(
-        functools.partial(
-            _expand_kernel, grid_x=grid_x, sentinel=sentinel
-        ),
+        _expand_kernel,
         out_shape=jax.ShapeDtypeStruct((NCH, capacity), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -193,12 +193,16 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     starts_q = g0 // W
     # the buffer is 512-aligned for the kernel's slot blocks, but the DROP
     # policy honours the requested capacity exactly: slots >= capacity are
-    # invalid (sentinel keys) and sort harmlessly to the tail
-    inst_soa = expand_pallas.expand_rows(
+    # invalid (sentinel keys) and sort harmlessly to the tail. The kernel
+    # returns RAW selected rows; the rect-walk/masking emit runs as fused
+    # XLA feeding the tile sort's operands directly (emit_from_raw).
+    raw = expand_pallas.expand_rows_raw(
         permat, offs_row, starts_q,
-        jnp.minimum(total1, capacity)[None], cap512, grid_x,
-        int(num_tiles), interpret=interpret,
-    )  # [16, cap512]: feat(10), gid, key, 0,0,0,0
+        jnp.minimum(total1, capacity)[None], cap512, interpret=interpret,
+    )  # [16, cap512] raw candidate rows
+    inst_soa = expand_pallas.emit_from_raw(
+        raw, jnp.minimum(total1, capacity), grid_x, int(num_tiles)
+    )  # tuple: feat0..9, gid, key_f32
     key = inst_soa[11].astype(jnp.int32)
 
     # 4. per-tile counts via ONE MXU contraction (round 3; replaces the
