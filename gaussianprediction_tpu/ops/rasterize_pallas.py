@@ -65,7 +65,13 @@ CHUNK = 128        # DMA alignment quantum: kernels stream CHUNK-aligned
 # depend on where chunk boundaries fall), so any X is exact.
 # Bench A/B at 200k/800² (r3): X=1 63.2 ms, X=2 58.2, X=4 60.3 — default 2
 # (wider iterations waste more tail lanes on sparse tiles past that).
+# The two kernels have different fixed costs per iteration (the backward
+# adds write DMAs + 10 MXU passes), so their widths are knobbed separately:
+# GPT_KCHUNK_X_BWD defaults to GPT_KCHUNK_X.
 KCHUNK = CHUNK * int(os.environ.get("GPT_KCHUNK_X", "2"))
+KCHUNK_BWD = CHUNK * int(
+    os.environ.get("GPT_KCHUNK_X_BWD", os.environ.get("GPT_KCHUNK_X", "2"))
+)
 NCH = 16           # packed f32 channels per instance
 T_EPS = 1e-4
 ALPHA_CLAMP = 0.99
@@ -298,14 +304,14 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
 def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
                 dinst_ref, chunk_vmem, dchunk_vmem, old_vmem, sems, wsems,
-                rmw_sem, *, grid_x):
+                rmw_sem, *, grid_x, kchunk=KCHUNK_BWD):
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
     off0 = (start // CHUNK) * CHUNK
     seg = end - start
     span = end - off0
-    nchunks = jnp.where(seg > 0, pl.cdiv(span, KCHUNK), 0)
+    nchunks = jnp.where(seg > 0, pl.cdiv(span, kchunk), 0)
     # The HEAD gradient block [off0, off0+CHUNK) is shared with the
     # PREDECESSOR tile's segment when start is unaligned: its already-
     # written lanes are read back and added to ours (read-modify-write —
@@ -314,7 +320,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     # contain only this tile's lanes plus SUCCESSOR lanes, which are
     # written as zeros here and read-modify-written by the successor.
     need_rmw = (start > off0) & (nchunks > 0)
-    NH = KCHUNK // CHUNK
+    NH = kchunk // CHUNK
     px, py = _pixel_coords(t, grid_x)
 
     @pl.when(need_rmw)
@@ -349,15 +355,15 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     oy = (tile_y * 16).astype(jnp.float32)
 
     def get_dma(slot, c):
-        off = pl.multiple_of(off0 + c * KCHUNK, CHUNK)
+        off = pl.multiple_of(off0 + c * kchunk, CHUNK)
         return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, KCHUNK)],
+            inst_ref.at[:, pl.ds(off, kchunk)],
             chunk_vmem.at[slot],
             sems.at[slot],
         )
 
     def put_dma_h(slot, c, h):
-        off = pl.multiple_of(off0 + c * KCHUNK + h * CHUNK, CHUNK)
+        off = pl.multiple_of(off0 + c * kchunk + h * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dchunk_vmem.at[slot, :, pl.ds(h * CHUNK, CHUNK)],
             dinst_ref.at[:, pl.ds(off, CHUNK)],
@@ -365,7 +371,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         )
 
     def h_in_seg(c, h):
-        return (c * KCHUNK + h * CHUNK) < span
+        return (c * kchunk + h * CHUNK) < span
 
     def put_start(slot, c):
         for h in range(NH):
@@ -397,11 +403,11 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         get_dma(c % 2, c).wait()
         data = chunk_vmem[c % 2]
         q = _chunk_quantities(data, px, py, T, done,
-                              start - off0 - c * KCHUNK,
-                              span - c * KCHUNK)
+                              start - off0 - c * kchunk,
+                              span - c * kchunk)
         w, contribute = q["w"], q["contribute"]
 
-        rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
+        rgbz = data[C_R:C_R + 4, :]            # [4, kchunk]
         # v_{p,i} = c_i . d_rgb_p + z_i * d_z_p    [PIX, CHUNK]
         # HIGHEST: the v5e MXU truncates f32 dot operands to bf16 by
         # default; these two dots feed position/covariance gradients
@@ -476,7 +482,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
 
         dchunk_vmem[c % 2] = jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop, dcol,
-             jnp.zeros((NCH - 10, KCHUNK), jnp.float32)],
+             jnp.zeros((NCH - 10, kchunk), jnp.float32)],
             axis=0,
         )
 
@@ -517,11 +523,11 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         put_wait((c_fin - 1) % 2, c_fin - 1)
 
 
-def _pad_inst_T(instT):
+def _pad_inst_T(instT, kchunk=KCHUNK):
     """Pad the [NCH, P] buffer with one extra (benign) chunk so the fixed-
     size DMA at the final partial chunk stays in bounds."""
     return jnp.concatenate(
-        [instT, jnp.zeros((instT.shape[0], KCHUNK), instT.dtype)], axis=1
+        [instT, jnp.zeros((instT.shape[0], kchunk), instT.dtype)], axis=1
     )
 
 
@@ -594,7 +600,7 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         [d_rgbz, Q, jnp.zeros((num_tiles, PIX, 3), jnp.float32)], axis=2
     )
 
-    instT = _pad_inst_T(instT0)
+    instT = _pad_inst_T(instT0, KCHUNK_BWD)
     dinst_init = jnp.zeros_like(instT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -607,11 +613,11 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
-            pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
+            pltpu.VMEM((2, NCH, KCHUNK_BWD), jnp.float32),
+            pltpu.VMEM((2, NCH, KCHUNK_BWD), jnp.float32),
             pltpu.VMEM((NCH, CHUNK), jnp.float32),    # RMW head-block readback
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, KCHUNK // CHUNK)),
+            pltpu.SemaphoreType.DMA((2, KCHUNK_BWD // CHUNK)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -623,7 +629,7 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_end, instT, dpix, dinst_init)
-    return (dinstT[:, :-KCHUNK], None, None)
+    return (dinstT[:, :-KCHUNK_BWD], None, None)
 
 
 rasterize_binned.defvjp(_rasterize_fwd_rule, _rasterize_bwd_rule)
