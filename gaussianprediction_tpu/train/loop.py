@@ -336,15 +336,20 @@ class Trainer:
 
     # ---- host events ------------------------------------------------------
     def _maybe_stage_transition(self, iteration: int):
+        # Idempotent (guarded on n_kpts / a host flag) so diagnostics can
+        # trigger the transition early without it re-running in the loop.
         cfg = self.cfg
-        if iteration == cfg.train.second_stage_iteration + 1:
+        if (iteration == cfg.train.second_stage_iteration + 1
+                and int(self.state.n_kpts()) == 0):
             self.key, k = jax.random.split(self.key)
             self.state = self._jit_set_kpts(self.state, k)
             self.opt_state = opt_mod.init_adam(self.state.params)
             if not self.quiet:
                 print(f"[iter {iteration}] stage 2: keypoints initialized "
                       f"({int(self.state.n_kpts())})")
-        if iteration == cfg.train.third_stage_iteration + 1:
+        if (iteration == cfg.train.third_stage_iteration + 1
+                and not getattr(self, "_did_stage3", False)):
+            self._did_stage3 = True
             self.opt_state = opt_mod.init_adam(self.state.params)
             if not self.quiet:
                 print(f"[iter {iteration}] stage 3: joint optimization")

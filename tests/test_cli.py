@@ -83,6 +83,22 @@ def trained_model(dataset, tmp_path_factory):
 
 
 class TestCLI:
+    def test_batch_flag_resolves(self):
+        """--batch (reference train.py:112-133,295) wires through to
+        cfg.train.batch, which Trainer.run dispatches to the tested
+        accumulated-gradient batched step (train/loop.py:581-585)."""
+        sys.path.insert(0, REPO)
+        import train as train_cli
+
+        p = train_cli.build_parser()
+        a = p.parse_args(["-s", "x", "-m", "y", "--preset", "test",
+                          "--batch", "2"])
+        cfg = train_cli.resolve_config(a)
+        assert cfg.train.batch == 2
+        # default: preset value untouched
+        a0 = p.parse_args(["-s", "x", "-m", "y", "--preset", "test"])
+        assert train_cli.resolve_config(a0).train.batch == 1
+
     def test_train(self, trained_model):
         assert os.path.exists(os.path.join(trained_model, "cfg.json"))
         assert os.path.exists(os.path.join(trained_model, "chkpnt150.npz"))

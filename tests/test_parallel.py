@@ -182,3 +182,60 @@ class TestShardedStep:
         assert np.isfinite(float(m["loss"]))
         # params actually moved
         assert not np.allclose(np.asarray(s2.params["super_xyz"]), before)
+
+
+class TestMultiProcess:
+    def test_two_process_jax_distributed(self):
+        """Two-process jax.distributed bring-up (VERDICT r3 #7): spawn a
+        coordinator + worker (2 virtual CPU devices each), join them via
+        parallel/distributed.maybe_initialize_distributed, and run (1) a
+        jit global reduction, (2) a shard_map psum, (3) a sharded-gradient
+        psum step across the process boundary — the DCN-path mechanics the
+        multi-host design (SURVEY §5.8) rests on. Children assert
+        process_count == 2 and device_count == 4 and verify numerics."""
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def env_for(i):
+            e = dict(os.environ)
+            e.update({
+                "JAX_PLATFORMS": "cpu",
+                # skip the axon TPU plugin: its sitecustomize registers at
+                # interpreter startup, before any in-script env write
+                "PALLAS_AXON_POOL_IPS": "",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+                "GPT_DIST": "1",
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(i),
+            })
+            return e
+
+        procs = [
+            subprocess.Popen(
+                [_sys.executable,
+                 os.path.join(repo, "tests", "distributed_child.py")],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env_for(i), cwd=repo,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=180)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append((p.returncode, out))
+        for i, (rc, out) in enumerate(outs):
+            assert rc == 0, f"process {i} failed:\n{out[-3000:]}"
+            assert f"DIST_OK process={i}" in out, out[-3000:]

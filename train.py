@@ -57,6 +57,10 @@ def build_parser():
                         "tcnn-parity default; 'fourier' is the MXU-native "
                         "fast path (identical convergence in the synthetic "
                         "A/B, ~2.7x faster stage-2 steps on TPU)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="gradient accumulation: renders per optimizer step "
+                        "(reference train.py:112-133; HyperNeRF recipes "
+                        "use --batch 2)")
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 enables the sharded multi-chip train path "
                         "(('data','tile') mesh, parallel/shard.py)")
@@ -98,7 +102,8 @@ def resolve_config(args):
                   "jointly_iteration", "adaptive_from_iter",
                   "adaptive_interval", "seed", "save_iterations",
                   "checkpoint_iterations", "test_iterations",
-                  "use_time_decay", "profile_steps", "profile_from"]
+                  "use_time_decay", "profile_steps", "profile_from",
+                  "batch"]
     for name in over_model:
         v = getattr(args, name)
         if v is not None:
