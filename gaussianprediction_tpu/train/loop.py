@@ -189,10 +189,17 @@ class Trainer:
             for c in sample
         )
 
-    def _auto_capacity(self, reason: str, slack: float = 1.3):
+    def _auto_capacity(self, reason: str, slack: float = 1.3,
+                       iteration: Optional[int] = None):
         """Size capacity_multiplier from the probed slot need. Growing
-        invalidates compiled steps (recompile); shrinking only happens at
-        init/load (cheap before anything compiled)."""
+        invalidates compiled steps (recompile, mandatory — drops bias
+        training); SHRINKING is hysteresis-gated (>= 1.0 multiplier steps
+        of slop) so the post-opacity-reset footprint collapse is
+        harvested — every instance-stream cost scales with capacity, and
+        training scenes otherwise stay stuck at their worst historical
+        footprint (VERDICT r3 #3: stage-0 trained 3.9x slower than the
+        bench purely from a stale mult 12.5) — without thrashing
+        recompiles on small fluctuations."""
         import math
 
         need = self._probe_need()
@@ -202,14 +209,24 @@ class Trainer:
         mult = max(2.0, math.ceil(slack * need / cap * 2.0) / 2.0)
         cur = float(self.cfg.model.capacity_multiplier)
         grow = mult > cur
-        if reason in ("init", "load") or grow:
+        # shrink only while footprints are STABLE: right after an opacity
+        # reset the 1/255-support rects collapse and then regrow as
+        # opacities relearn — shrinking there would buy one recompile and
+        # sell another a few hundred iterations later
+        ri = max(self.cfg.opt.opacity_reset_interval, 1)
+        it = self.iteration if iteration is None else iteration
+        stable = (it % ri) > ri // 2
+        shrink = mult <= cur - 1.0 and (
+            stable or reason in ("init", "load")
+        )
+        if reason in ("init", "load") or grow or shrink:
             self.cfg.model.capacity_multiplier = mult
-            if self._steps and grow:
+            if self._steps and (grow or shrink):
                 self._steps.clear()
                 if not self.quiet:
                     print(
-                        f"[capacity] probe {need} slots > buffer; "
-                        f"multiplier {cur:.2f} -> {mult:.2f} (recompile)"
+                        f"[capacity] probe {need} slots; multiplier "
+                        f"{cur:.2f} -> {mult:.2f} (recompile)"
                     )
             elif not self.quiet:
                 print(
@@ -384,8 +401,10 @@ class Trainer:
                 self.state = self._jit_prune[size_thr](self.state)
                 if cfg.model.capacity_auto:
                     # densification changed footprints; grow the instance
-                    # buffer (with recompile) before drops can bias training
-                    self._auto_capacity(reason="densify")
+                    # buffer (with recompile) before drops can bias
+                    # training, or harvest a stable footprint collapse
+                    self._auto_capacity(reason="densify",
+                                        iteration=iteration)
 
         # adaptive keypoint growth (train.py:181-192): teaching-residual
         # growth first (densification_motion_postfix), then gradient-driven

@@ -494,6 +494,37 @@ class TestBatchAccumulation:
         h = tr._history
         assert np.isfinite(h[-1]["loss"])
 
+    def test_auto_capacity_shrinks_with_hysteresis(self):
+        """Probe-driven capacity re-sizing shrinks a stale oversized
+        multiplier at densify cadence (VERDICT r3 #3) — but only in the
+        stable second half of the opacity-reset cycle, and only past the
+        1.0-step hysteresis."""
+        from gaussianprediction_tpu.data.scene import Scene, synthetic_scene_info
+
+        cfg = small_cfg()
+        cfg.model.capacity_auto = True
+        info = synthetic_scene_info(
+            n_points=48, n_cams=6, n_test=1, width=32, height=32,
+            interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        probed = float(cfg.model.capacity_multiplier)
+        ri = cfg.opt.opacity_reset_interval
+        # stale oversized value, probe says much less -> shrink (stable)
+        cfg.model.capacity_multiplier = probed + 8.0
+        tr._steps["sentinel"] = object()
+        tr._auto_capacity(reason="densify", iteration=ri - 1)
+        assert float(cfg.model.capacity_multiplier) == probed
+        assert not tr._steps  # compiled steps invalidated
+        # unstable window (right after a reset): no shrink
+        cfg.model.capacity_multiplier = probed + 8.0
+        tr._auto_capacity(reason="densify", iteration=ri + 1)
+        assert float(cfg.model.capacity_multiplier) == probed + 8.0
+        # inside hysteresis: no shrink
+        cfg.model.capacity_multiplier = probed + 0.5
+        tr._auto_capacity(reason="densify", iteration=ri - 1)
+        assert float(cfg.model.capacity_multiplier) == probed + 0.5
+
 
 class TestTrainingReport:
     def test_report_at_test_iterations(self):

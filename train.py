@@ -64,9 +64,12 @@ def build_parser():
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 enables the sharded multi-chip train path "
                         "(('data','tile') mesh, parallel/shard.py)")
-    p.add_argument("--n_data", type=int, default=1,
+    p.add_argument("--n_data", type=int, default=None,
                    help="data-parallel camera groups within --n_devices "
-                        "(must divide it); the rest is tile-band sharding")
+                        "(must divide it); the rest is tile-band sharding. "
+                        "Default: n_devices (data-major — the near-perfect "
+                        "scaling axis, one gradient psum per step); pass a "
+                        "smaller value to add tile-band sharding")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help=">1 scans K iterations per device invocation, "
                         "amortizing the per-call host round-trip (single-"
@@ -158,13 +161,14 @@ def main():
         f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} test "
         f"cameras, extent {scene.cameras_extent:.3f}"
     )
+    n_data = args.n_data if args.n_data is not None else args.n_devices
     trainer = Trainer(
-        cfg, scene, n_devices=args.n_devices, n_data=args.n_data,
+        cfg, scene, n_devices=args.n_devices, n_data=n_data,
         steps_per_call=args.steps_per_call,
     )
     if args.n_devices > 1:
         print(f"multi-chip: {args.n_devices} devices "
-              f"({args.n_data} data x {args.n_devices // args.n_data} tile)")
+              f"({n_data} data x {args.n_devices // n_data} tile)")
     if args.start_checkpoint:
         trainer.load_checkpoint(args.start_checkpoint)
         print(f"resumed from {args.start_checkpoint} @ {trainer.iteration}")
