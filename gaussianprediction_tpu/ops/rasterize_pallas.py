@@ -531,6 +531,391 @@ def _pad_inst_T(instT, kchunk=KCHUNK):
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-tile contiguous-streaming kernels (GPT_BLEND_MT=1).
+#
+# The classic kernels run one program per tile and pay a ~0.8 us fixed cost
+# per chunk-iteration (loop bookkeeping + DMA sync; Mosaic cannot pipeline
+# across while-loop iterations), plus an average ~0.75-chunk ceil tail PER
+# TILE. With ~2500 tiles and ~480-instance average segments that fixed cost
+# dominates the blend time (NOTES.md round-3 breakdown: ~15 of 27 ms).
+#
+# Here one program owns TPB consecutive tiles and streams their UNION
+# window [start[t0], end[t0+TPB-1]) — contiguous, because segments are
+# ordered and adjacent (tile_end[t] == tile_start[t+1]) — in CHUNK-aligned
+# windows. Each chunk is processed once per INTERSECTING tile (pl.when
+# branch per owned tile), so iteration count drops ~TPBx toward
+# span/KCHUNK while VPU work stays proportional to real instances. Per-tile
+# blend state lives in VMEM: the forward reuses its own out block (acc/T/
+# wmax/gid are output channels; the done latch borrows the pad channel and
+# is zeroed at the end), the backward keeps (T, done, S) in scratch.
+#
+# The math per (tile, chunk) pair is IDENTICAL to the classic kernel
+# (_chunk_quantities with the same lane bounds), so outputs are bit-exact.
+# ---------------------------------------------------------------------------
+def _mt_config():
+    """(tpb, kchunk) when GPT_BLEND_MT=1, else None. Read at TRACE time —
+    flipping the env between jit invalidations switches kernels."""
+    if os.environ.get("GPT_BLEND_MT", "0") != "1":
+        return None
+    tpb = int(os.environ.get("GPT_BLEND_TPB", "4"))
+    kx = int(os.environ.get("GPT_KCHUNK_X_MT",
+                            os.environ.get("GPT_KCHUNK_X", "2")))
+    return tpb, CHUNK * kx
+
+
+def _fwd_kernel_mt(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
+                   *, grid_x, tpb, kchunk, with_tidx: bool = True):
+    p = pl.program_id(0)
+    t0 = p * tpb
+    w_start = start_ref[t0]
+    w_end = end_ref[t0 + tpb - 1]
+    off0 = (w_start // CHUNK) * CHUNK
+    span = w_end - off0
+    nchunks = jnp.where(w_end > w_start, pl.cdiv(span, kchunk), 0)
+
+    init = jnp.concatenate(
+        [jnp.zeros((PIX, 4), jnp.float32),       # acc rgbz
+         jnp.ones((PIX, 1), jnp.float32),        # T
+         jnp.zeros((PIX, 1), jnp.float32),       # wmax
+         jnp.full((PIX, 1), -1.0, jnp.float32),  # bgid
+         jnp.zeros((PIX, 1), jnp.float32)],      # done latch (pad channel)
+        axis=1,
+    )
+    for j in range(tpb):
+        out_ref[j] = init
+
+    pxy = [_pixel_coords(t0 + j, grid_x) for j in range(tpb)]
+
+    def get_dma(slot, c):
+        off = pl.multiple_of(off0 + c * kchunk, CHUNK)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, kchunk)],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        c, alive = state
+        return (c < nchunks) & (alive > 0.5)
+
+    def body(state):
+        c, _ = state
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(c % 2, c).wait()
+        data = chunk_vmem[c % 2]
+        base = off0 + c * kchunk
+        alive_acc = jnp.float32(0.0)
+        for j in range(tpb):
+            t = t0 + j
+            s_j = start_ref[t]
+            e_j = end_ref[t]
+            not_done = jnp.min(out_ref[j, :, O_PAD]) < 0.5
+            active = (s_j < base + kchunk) & (e_j > base) & not_done
+
+            @pl.when(active)
+            def _(j=j, s_j=s_j, e_j=e_j):
+                st = out_ref[j]
+                q = _chunk_quantities(
+                    data, pxy[j][0], pxy[j][1], st[:, O_T:O_T + 1],
+                    st[:, O_PAD:O_PAD + 1], s_j - base, e_j - base,
+                )
+                rgbz = data[C_R:C_R + 4, :]
+                w = q["w"]
+                w_h, w_m = _split2(w)
+                c_h, c_m = _split2(rgbz)
+
+                def acc_dot(a_bf, b_bf):
+                    return jax.lax.dot_general(
+                        a_bf, b_bf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                acc = (st[:, O_R:O_R + 4] + acc_dot(w_h, c_h)
+                       + acc_dot(w_h, c_m) + acc_dot(w_m, c_h))
+                wmax = st[:, O_WMAX:O_WMAX + 1]
+                bgid = st[:, O_GID:O_GID + 1]
+                if with_tidx:
+                    wm_chunk = jnp.max(w, axis=1, keepdims=True)
+                    gid = data[C_GID:C_GID + 1, :]
+                    sel_gid = jnp.max(
+                        jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0),
+                        axis=1, keepdims=True,
+                    )
+                    better = wm_chunk > wmax
+                    wmax = jnp.where(better, wm_chunk, wmax)
+                    bgid = jnp.where(better, sel_gid, bgid)
+                out_ref[j] = jnp.concatenate(
+                    [acc, q["T_out"], wmax, bgid, q["done_out"]], axis=1
+                )
+
+            alive_acc = jnp.maximum(
+                alive_acc,
+                jnp.where(
+                    (e_j > base + kchunk)
+                    & (jnp.min(out_ref[j, :, O_PAD]) < 0.5),
+                    1.0, 0.0,
+                ),
+            )
+        return c + 1, alive_acc
+
+    c_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                               jnp.float32(1.0)))
+
+    @pl.when(c_fin < nchunks)           # drain prefetch after early exit
+    def _():
+        get_dma(c_fin % 2, c_fin).wait()
+
+    for j in range(tpb):                # clear the borrowed done channel
+        out_ref[j, :, O_PAD:O_PAD + 1] = jnp.zeros((PIX, 1), jnp.float32)
+
+
+def _bwd_kernel_mt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
+                   dinst_ref, chunk_vmem, dchunk_vmem, state_vmem, old_vmem,
+                   sems, wsems, rmw_sem, *, grid_x, tpb, kchunk):
+    p = pl.program_id(0)
+    t0 = p * tpb
+    w_start = start_ref[t0]
+    w_end = end_ref[t0 + tpb - 1]
+    off0 = (w_start // CHUNK) * CHUNK
+    span = w_end - off0
+    nchunks = jnp.where(w_end > w_start, pl.cdiv(span, kchunk), 0)
+    need_rmw = (w_start > off0) & (nchunks > 0)
+    NH = kchunk // CHUNK
+
+    @pl.when(need_rmw)
+    def _():
+        pltpu.make_async_copy(
+            dinst_ref.at[:, pl.ds(pl.multiple_of(off0, CHUNK), CHUNK)],
+            old_vmem, rmw_sem,
+        ).start()
+
+    # per-tile state: ch0 T, ch1 done, ch2 S (running inclusive wv prefix)
+    state_init = jnp.concatenate(
+        [jnp.ones((PIX, 1), jnp.float32),
+         jnp.zeros((PIX, 7), jnp.float32)], axis=1
+    )
+    for j in range(tpb):
+        state_vmem[j] = state_init
+
+    pxy = [_pixel_coords(t0 + j, grid_x) for j in range(tpb)]
+    lin_r = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pxr = (lin_r % 16).astype(jnp.float32)
+    pyr = (lin_r // 16).astype(jnp.float32)
+    mon = jnp.concatenate(
+        [jnp.ones((1, PIX), jnp.float32), pxr, pyr, pxr * pxr, pxr * pyr,
+         pyr * pyr, jnp.zeros((2, PIX), jnp.float32)],
+        axis=0,
+    )
+    mon_bf = mon.astype(jnp.bfloat16)
+
+    def get_dma(slot, c):
+        off = pl.multiple_of(off0 + c * kchunk, CHUNK)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, kchunk)],
+            chunk_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma_h(slot, c, h):
+        off = pl.multiple_of(off0 + c * kchunk + h * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            dchunk_vmem.at[slot, :, pl.ds(h * CHUNK, CHUNK)],
+            dinst_ref.at[:, pl.ds(off, CHUNK)],
+            wsems.at[slot, h],
+        )
+
+    def h_in_seg(c, h):
+        return (c * kchunk + h * CHUNK) < span
+
+    def put_start(slot, c):
+        for h in range(NH):
+            @pl.when(h_in_seg(c, h))
+            def _(h=h):
+                put_dma_h(slot, c, h).start()
+
+    def put_wait(slot, c):
+        for h in range(NH):
+            @pl.when(h_in_seg(c, h))
+            def _(h=h):
+                put_dma_h(slot, c, h).wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        c, alive = state
+        return (c < nchunks) & (alive > 0.5)
+
+    def body(state):
+        c, _ = state
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(c % 2, c).wait()
+        data = chunk_vmem[c % 2]
+        base = off0 + c * kchunk
+
+        @pl.when(c >= 2)
+        def _():
+            put_wait(c % 2, c - 2)
+
+        dchunk_vmem[c % 2] = jnp.zeros((NCH, kchunk), jnp.float32)
+
+        alive_acc = jnp.float32(0.0)
+        for j in range(tpb):
+            t = t0 + j
+            s_j = start_ref[t]
+            e_j = end_ref[t]
+            not_done = jnp.min(state_vmem[j, :, 1]) < 0.5
+            active = (s_j < base + kchunk) & (e_j > base) & not_done
+
+            @pl.when(active)
+            def _(j=j, s_j=s_j, e_j=e_j):
+                st = state_vmem[j]
+                T_in = st[:, 0:1]
+                done_in = st[:, 1:2]
+                S = st[:, 2:3]
+                q = _chunk_quantities(
+                    data, pxy[j][0], pxy[j][1], T_in, done_in,
+                    s_j - base, e_j - base,
+                )
+                w, contribute = q["w"], q["contribute"]
+                dpix = dpix_ref[j]
+                d_rgbz = dpix[:, D_R:D_R + 4]
+                Q = dpix[:, D_Q:D_Q + 1]
+                rgbz = data[C_R:C_R + 4, :]
+                v = jax.lax.dot_general(
+                    d_rgbz, rgbz, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_bwd_precision(),
+                )
+                wv = w * v
+                S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+                dalpha = jnp.where(
+                    contribute,
+                    q["T_run"] * v - (Q - S_incl) / q["om"],
+                    0.0,
+                )
+                op = data[C_OP:C_OP + 1, :]
+                dpower = jnp.where(contribute, op * q["Gv"] * dalpha, 0.0)
+                dp_h, dp_m, dp_l = _split3(dpower)
+
+                def mon_dot(dp_bf):
+                    return jax.lax.dot_general(
+                        mon_bf, dp_bf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                mm = mon_dot(dp_h) + mon_dot(dp_m) + mon_dot(dp_l)
+                s0 = mm[0:1, :]
+                sx, sy = mm[1:2, :], mm[2:3, :]
+                sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
+                tile_y = t // grid_x
+                tile_x = t - tile_y * grid_x
+                ox = (tile_x * 16).astype(jnp.float32)
+                oy = (tile_y * 16).astype(jnp.float32)
+                mxl = data[C_MX:C_MX + 1, :] - ox
+                myl = data[C_MY:C_MY + 1, :] - oy
+                gx = sx - mxl * s0
+                gy = sy - myl * s0
+                ca = data[C_CA:C_CA + 1, :]
+                cb = data[C_CB:C_CB + 1, :]
+                cc = data[C_CC:C_CC + 1, :]
+                dmx = ca * gx + cb * gy
+                dmy = cb * gx + cc * gy
+                dca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+                dcb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
+                dcc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+                dop = s0 / jnp.maximum(op, 1e-9)
+                a_h, a_m = _split2(d_rgbz)
+                w_h, w_m = _split2(w)
+
+                def col_dot(a_bf, b_bf):
+                    return jax.lax.dot_general(
+                        a_bf, b_bf, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                dcol = (col_dot(a_h, w_h) + col_dot(a_h, w_m)
+                        + col_dot(a_m, w_h))
+                # different tiles' segments occupy disjoint lanes, so the
+                # per-tile contributions sum exactly
+                dchunk_vmem[c % 2] = dchunk_vmem[c % 2] + jnp.concatenate(
+                    [dmx, dmy, dca, dcb, dcc, dop, dcol,
+                     jnp.zeros((NCH - 10, kchunk), jnp.float32)],
+                    axis=0,
+                )
+                state_vmem[j] = jnp.concatenate(
+                    [q["T_out"], q["done_out"],
+                     S + jnp.sum(wv, axis=1, keepdims=True),
+                     jnp.zeros((PIX, 5), jnp.float32)],
+                    axis=1,
+                )
+
+            alive_acc = jnp.maximum(
+                alive_acc,
+                jnp.where(
+                    (e_j > base + kchunk)
+                    & (jnp.min(state_vmem[j, :, 1]) < 0.5),
+                    1.0, 0.0,
+                ),
+            )
+
+        @pl.when((c == 0) & need_rmw)
+        def _():
+            pltpu.make_async_copy(
+                dinst_ref.at[:, pl.ds(pl.multiple_of(off0, CHUNK), CHUNK)],
+                old_vmem, rmw_sem,
+            ).wait()
+            dchunk_vmem[0, :, pl.ds(0, CHUNK)] = (
+                dchunk_vmem[0, :, pl.ds(0, CHUNK)] + old_vmem[...]
+            )
+
+        put_start(c % 2, c)
+        return c + 1, alive_acc
+
+    c_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                               jnp.float32(1.0)))
+
+    @pl.when(c_fin < nchunks)           # drain unconsumed read prefetch
+    def _():
+        get_dma(c_fin % 2, c_fin).wait()
+
+    @pl.when(c_fin >= 2)                # drain outstanding writes
+    def _():
+        put_wait(c_fin % 2, c_fin - 2)
+
+    @pl.when(c_fin >= 1)
+    def _():
+        put_wait((c_fin - 1) % 2, c_fin - 1)
+
+
+def _pad_tiles(tile_start, tile_end, tpb):
+    """Pad the per-tile segment arrays to a multiple of tpb with EMPTY
+    segments pinned at the last real end (so padded programs see
+    zero-length windows and the mixed program's window stays tight)."""
+    T = tile_start.shape[0]
+    Tp = ((T + tpb - 1) // tpb) * tpb
+    if Tp == T:
+        return tile_start, tile_end, T
+    fill = tile_end[-1:]
+    pad = jnp.broadcast_to(fill, (Tp - T,))
+    return (jnp.concatenate([tile_start, pad]),
+            jnp.concatenate([tile_end, pad]), Tp)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def rasterize_binned(instT, tile_start, tile_end, grid_x, grid_y,
                      interpret=None, with_tidx: bool = True):
@@ -555,6 +940,32 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
     if interpret is None:
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
+    mt = _mt_config()
+    if mt is not None:
+        tpb, kchunk = mt
+        instT = _pad_inst_T(instT, kchunk)
+        ts, te, Tp = _pad_tiles(tile_start, tile_end, tpb)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tp // tpb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (tpb, PIX, 8), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, NCH, kchunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_mt, grid_x=grid_x, tpb=tpb,
+                              kchunk=kchunk, with_tidx=with_tidx),
+            out_shape=jax.ShapeDtypeStruct((Tp, PIX, 8), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(ts, te, instT)
+        return out[:num_tiles]
     instT = _pad_inst_T(instT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -599,6 +1010,47 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
     dpix = jnp.concatenate(
         [d_rgbz, Q, jnp.zeros((num_tiles, PIX, 3), jnp.float32)], axis=2
     )
+
+    mt = _mt_config()
+    if mt is not None:
+        tpb, kchunk = mt
+        ts, te, Tp = _pad_tiles(tile_start, tile_end, tpb)
+        dpix_p = jnp.concatenate(
+            [dpix, jnp.zeros((Tp - num_tiles, PIX, 8), jnp.float32)],
+            axis=0,
+        ) if Tp != num_tiles else dpix
+        instT = _pad_inst_T(instT0, kchunk)
+        dinst_init = jnp.zeros_like(instT)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tp // tpb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((tpb, PIX, 8), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, NCH, kchunk), jnp.float32),
+                pltpu.VMEM((2, NCH, kchunk), jnp.float32),
+                pltpu.VMEM((tpb, PIX, 8), jnp.float32),   # per-tile state
+                pltpu.VMEM((NCH, CHUNK), jnp.float32),    # RMW readback
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, kchunk // CHUNK)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        dinstT = pl.pallas_call(
+            functools.partial(_bwd_kernel_mt, grid_x=grid_x, tpb=tpb,
+                              kchunk=kchunk),
+            out_shape=jax.ShapeDtypeStruct(instT.shape, jnp.float32),
+            grid_spec=grid_spec,
+            input_output_aliases={4: 0},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(ts, te, instT, dpix_p, dinst_init)
+        return (dinstT[:, :-kchunk], None, None)
 
     instT = _pad_inst_T(instT0, KCHUNK_BWD)
     dinst_init = jnp.zeros_like(instT)

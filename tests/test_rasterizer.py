@@ -413,3 +413,118 @@ class TestLargeFootprints:
             cy = np.clip(ct[i, 1], tmin[i, 1], tmax[i, 1] - 1)
             assert x0[i] <= cx < x0[i] + rw[i]
             assert y0[i] <= cy < y0[i] + rh[i]
+
+
+class TestMultiTileBlend:
+    """GPT_BLEND_MT=1 contiguous multi-tile kernels vs the classic
+    one-tile-per-program kernels: same math per (tile, chunk) pair, so
+    images and gradients must agree (bit-exact at tpb=1 where the chunk
+    partition is identical; allclose at tpb>1 where the window alignment
+    re-associates the transmittance products)."""
+
+    def _run(self, env, n=220, seed=3, opacity_boost=2.0):
+        import os
+        g, cam = scene(n, seed=seed)
+        opac = _sigmoid(g["opacity_logit"] + opacity_boost).astype(np.float32)
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        target = jnp.asarray(
+            np.random.default_rng(5).uniform(0, 1, (H, W, 3)), jnp.float32
+        )
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            def loss(xyz, log_s, rot, op, col):
+                out = R.render(
+                    xyz, jnp.exp(log_s), rot, op, None, cam, W, H, bg,
+                    colors_precomp=col, interpret=True,
+                )
+                return (
+                    jnp.mean((out["render"] - target) ** 2)
+                    + 0.1 * jnp.mean(out["depth"]),
+                    out,
+                )
+
+            args = (
+                jnp.asarray(g["xyz"]), jnp.asarray(g["log_scales"]),
+                jnp.asarray(g["rotation"]), jnp.asarray(opac),
+                jnp.asarray(g["colors"]),
+            )
+            (l, out), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+            )(*args)
+            return out, grads
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    def test_tpb1_matches_classic(self):
+        """tpb=1 has the identical chunk partition, so the FORWARD is
+        bit-exact. The backward math is identical too, but in interpret
+        mode the pl.when->lax.cond wrapper changes XLA:CPU's matmul
+        reduction association (~1 ulp on the mon_dot outputs), so grads
+        are compared at float-noise tolerance."""
+        out_c, g_c = self._run({})
+        out_m, g_m = self._run({"GPT_BLEND_MT": "1", "GPT_BLEND_TPB": "1"})
+        np.testing.assert_array_equal(
+            np.asarray(out_m["render"]), np.asarray(out_c["render"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_m["tidx"]), np.asarray(out_c["tidx"])
+        )
+        for a, b in zip(g_m, g_c):
+            scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5 * scale,
+            )
+
+    def test_tpb4_matches(self):
+        out_c, g_c = self._run({})
+        out_m, g_m = self._run({"GPT_BLEND_MT": "1", "GPT_BLEND_TPB": "4"})
+        np.testing.assert_allclose(
+            np.asarray(out_m["render"]), np.asarray(out_c["render"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m["depth"]), np.asarray(out_c["depth"]),
+            atol=1e-4,
+        )
+        names = ["xyz", "log_scales", "rotation", "opacity", "colors"]
+        for name, a, b in zip(names, g_m, g_c):
+            scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4 * scale + 1e-8,
+                err_msg=f"grad mismatch: {name}",
+            )
+
+    def test_tpb4_vs_oracle_dense(self):
+        """MT kernels against the exact jnp oracle under heavy occlusion
+        (done-latch heavy path), including the uneven last program."""
+        import os
+        g, cam = scene(300, seed=7)
+        opac = _sigmoid(g["opacity_logit"] + 4.0).astype(np.float32)
+        proj = _proj(g, cam)
+        bg = jnp.asarray([0.2, 0.3, 0.4])
+        rgb_ref, depth_ref, alpha_ref, _ = rasterize_pixels_reference(
+            proj, jnp.asarray(g["colors"]), jnp.asarray(opac), bg, W, H
+        )
+        old = os.environ.get("GPT_BLEND_MT")
+        os.environ["GPT_BLEND_MT"] = "1"
+        try:
+            out = R.render(
+                jnp.asarray(g["xyz"]),
+                jnp.exp(jnp.asarray(g["log_scales"])),
+                jnp.asarray(g["rotation"]), jnp.asarray(opac), None,
+                cam, W, H, bg, colors_precomp=jnp.asarray(g["colors"]),
+                interpret=True,
+            )
+        finally:
+            if old is None:
+                os.environ.pop("GPT_BLEND_MT", None)
+            else:
+                os.environ["GPT_BLEND_MT"] = old
+        assert int(out["n_dropped"]) == 0
+        np.testing.assert_allclose(out["render"], rgb_ref, atol=5e-5)
+        np.testing.assert_allclose(out["alpha"], alpha_ref, atol=2e-5)
