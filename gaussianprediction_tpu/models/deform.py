@@ -159,12 +159,18 @@ def deform_warmup(params, cfg: Config) -> DeformOut:
 
 
 def deform_stage1(params, cfg: Config, state: GaussianState, t, iteration,
-                  key) -> DeformOut:
-    """Stage 1: per-Gaussian deformation (gaussian_model.py:240-244,265,285-304)."""
+                  key, noise=None) -> DeformOut:
+    """Stage 1: per-Gaussian deformation (gaussian_model.py:240-244,265,285-304).
+
+    noise: optional pre-drawn N(0,1) [C, 3] (BEFORE the sigma anneal).
+    Sharded callers (parallel/shard.py) draw it at FULL capacity and pass
+    each device its slice so the sharded trajectory reproduces the
+    single-device RNG draw exactly."""
     t_pe = time_encode(cfg, t)
     sigma = linear_anneal(iteration, 0.1, cfg.train.xyz_noise_iteration)
-    noise = sigma * jax.random.normal(key, params["xyz"].shape)
-    xyz_in = jax.lax.stop_gradient(params["xyz"]) + noise
+    if noise is None:
+        noise = jax.random.normal(key, params["xyz"].shape)
+    xyz_in = jax.lax.stop_gradient(params["xyz"]) + sigma * noise
     xyz_embed = xyz_encode(cfg, xyz_in)
     delta_xyz, delta_q, _ = motion_delta(
         params, cfg, xyz_embed, params["motion_feature"], t_pe

@@ -37,11 +37,13 @@ from gaussianprediction_tpu.utils.image import dssim_l1_loss, l1_loss, psnr
 from gaussianprediction_tpu.utils.schedules import linear_anneal
 
 
-def deform_for_stage(params, cfg, state, t, iteration, key, stage: int):
+def deform_for_stage(params, cfg, state, t, iteration, key, stage: int,
+                     noise=None):
     if stage == 0:
         return D.deform_warmup(params, cfg)
     if stage == 1:
-        return D.deform_stage1(params, cfg, state, t, iteration, key)
+        return D.deform_stage1(params, cfg, state, t, iteration, key,
+                               noise=noise)
     return D.deform_stage23(params, cfg, state, t, iteration, key)
 
 
