@@ -127,6 +127,13 @@ class TrainConfig:
     densify_from_teaching: bool = False
     densify_from_grad: bool = True
     teaching_threshold: float = 0.2
+    # >0: at the stage-2 transition, pre-fit the blend-weight model for
+    # this many Adam steps so the keypoint-blended motion matches the
+    # stage-1 motion field BEFORE stage-2 training starts (train/loop.py
+    # distill_weight_init). The reference starts stage 2 from a random
+    # weight model (gaussian_model.py:370-392), which re-smooths the
+    # learned motion and causes a transition PSNR cliff; 0 = faithful.
+    distill_init_steps: int = 0
     batch: int = 1
     seed: int = 1
     test_iterations: Tuple[int, ...] = (7000, 30000)

@@ -63,6 +63,112 @@ def set_super_keypoints(state: G.GaussianState, cfg: Config, key):
     return state.replace(params=params, kpt_alive=kpt_alive)
 
 
+def distill_weight_init(state: G.GaussianState, cfg: Config, key,
+                        n_steps: int, n_times: int = 8):
+    """Pre-fit the blend-weight model to the stage-1 motion field
+    (cfg.train.distill_init_steps; TPU-era improvement over the
+    reference's random weight init at the transition,
+    /root/reference/scene/gaussian_model.py:370-392).
+
+    Teacher and keypoint deltas are precomputed at n_times timestamps
+    (they do not depend on the weight model), the hybrid-KNN neighbor
+    set is fixed (keypoints and canonical xyz are constant here), and
+    only the encoder+MLP parameters are optimized with Adam at
+    cfg.opt.hash_lr to minimize || blend - teacher ||^2 over xyz and
+    rotation deltas. Returns the state with updated weight params."""
+    from gaussianprediction_tpu.models import deform as D
+    from gaussianprediction_tpu.models.gaussians import rotation_act
+    from gaussianprediction_tpu.ops import hashgrid
+
+    p = state.params
+    xyz = jax.lax.stop_gradient(p["xyz"])
+    times = jnp.linspace(0.0, 1.0, n_times)
+
+    def deltas_at(t):
+        t_pe = D.time_encode(cfg, t)
+        teach_dx, teach_dq, _ = D.motion_delta(
+            p, cfg, D.xyz_encode(cfg, xyz), p["motion_feature"], t_pe
+        )
+        kpt_dx, kpt_dq, _ = D.motion_delta(
+            p, cfg, D.xyz_encode(cfg, p["super_xyz"]), p["super_feature"],
+            t_pe,
+        )
+        if cfg.model.norm_rotation:
+            teach_dq = rotation_act(teach_dq)
+            kpt_dq = rotation_act(kpt_dq)
+        kpt_dx = jnp.where(state.kpt_alive[:, None], kpt_dx, 0.0)
+        kpt_dq = jnp.where(
+            state.kpt_alive[:, None], kpt_dq, jnp.asarray([1.0, 0, 0, 0])
+        )
+        return teach_dx, teach_dq, kpt_dx, kpt_dq
+
+    teach_dx, teach_dq, kpt_dx, kpt_dq = jax.vmap(deltas_at)(times)
+    nn_idx, _, _ = D.blend_weights(p, cfg, state)  # fixed neighbor set
+    K = cfg.model.nearest_num
+    alive_w = state.alive.astype(jnp.float32)[None, :, None]
+    n_alive = jnp.maximum(jnp.sum(state.alive), 1).astype(jnp.float32)
+
+    m = cfg.model
+    if m.weight_encoder == "fourier":
+        from gaussianprediction_tpu.ops import fourier_enc
+
+        B = fourier_enc.fourier_dirs(
+            m.hash_levels, m.fourier_per_level, m.hash_min_res,
+            m.hash_max_res, m.hash_bound,
+        )
+        enc_const = fourier_enc.fourier_encode(B, xyz, bound=m.hash_bound)
+
+        def encode(wp):
+            return enc_const
+        wparams0 = {"weight_mlp": p["weight_mlp"]}
+    else:
+        def encode(wp):
+            return hashgrid.hashgrid_encode_fast(
+                wp["hash_tables"], xyz, m.hash_bound, m.hash_min_res,
+                m.hash_max_res,
+            )
+        wparams0 = {"weight_mlp": p["weight_mlp"],
+                    "hash_tables": p["hash_tables"]}
+
+    def loss_fn(wp):
+        logits = hashgrid.mlp_apply(wp["weight_mlp"], encode(wp))
+        w_xyz = jax.nn.softmax(logits[..., 0:K], axis=-1)
+        w_r = jax.nn.softmax(logits[..., K:2 * K], axis=-1)
+        blend_dx = jnp.einsum("nk,tnkc->tnc", w_xyz, kpt_dx[:, nn_idx])
+        blend_dq = jnp.einsum("nk,tnkc->tnc", w_r, kpt_dq[:, nn_idx])
+        ex = jnp.sum(((blend_dx - teach_dx) ** 2) * alive_w)
+        eq = jnp.sum(((rotation_act(blend_dq) - rotation_act(teach_dq)) ** 2)
+                     * alive_w)
+        return (ex + eq) / (n_times * n_alive)
+
+    lr = cfg.opt.hash_lr
+    b1, b2, eps = 0.9, 0.999, 1e-15
+    mom = jax.tree.map(jnp.zeros_like, wparams0)
+    vel = jax.tree.map(jnp.zeros_like, wparams0)
+
+    def step(carry, i):
+        wp, mom, vel = carry
+        loss, grads = jax.value_and_grad(loss_fn)(wp)
+        mom = jax.tree.map(lambda m_, g_: b1 * m_ + (1 - b1) * g_, mom,
+                           grads)
+        vel = jax.tree.map(lambda v_, g_: b2 * v_ + (1 - b2) * g_ * g_,
+                           vel, grads)
+        t = (i + 1).astype(jnp.float32)
+        wp = jax.tree.map(
+            lambda p_, m_, v_: p_ - lr * (m_ / (1 - b1 ** t))
+            / (jnp.sqrt(v_ / (1 - b2 ** t)) + eps),
+            wp, mom, vel,
+        )
+        return (wp, mom, vel), loss
+
+    (wparams, _, _), losses = jax.lax.scan(
+        step, (wparams0, mom, vel), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    new_params = dict(p)
+    new_params.update(wparams)
+    return state.replace(params=new_params), losses
+
+
 class Trainer:
     """Owns all mutable training state; `run()` trains to cfg.opt.iterations."""
 
@@ -360,6 +466,19 @@ class Trainer:
                 and int(self.state.n_kpts()) == 0):
             self.key, k = jax.random.split(self.key)
             self.state = self._jit_set_kpts(self.state, k)
+            if cfg.train.distill_init_steps > 0:
+                self.key, kd = jax.random.split(self.key)
+                self.state, dlosses = jax.jit(
+                    lambda s, k_: distill_weight_init(
+                        s, cfg, k_, cfg.train.distill_init_steps
+                    )
+                )(self.state, kd)
+                if not self.quiet:
+                    print(
+                        f"[iter {iteration}] distill init: blend-teacher "
+                        f"mse {float(dlosses[0]):.3e} -> "
+                        f"{float(dlosses[-1]):.3e}"
+                    )
             self.opt_state = opt_mod.init_adam(self.state.params)
             if not self.quiet:
                 print(f"[iter {iteration}] stage 2: keypoints initialized "

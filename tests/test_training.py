@@ -624,3 +624,57 @@ class TestDeepConvergence:
         assert evals[iters]["test_psnr"] > evals[1400]["test_psnr"], (
             "no recovery after the stage-2 transition"
         )
+
+
+class TestDistillInit:
+    def test_distill_reduces_blend_teacher_error(self):
+        """distill_weight_init (cfg.train.distill_init_steps) must fit the
+        blend-weight model toward the stage-1 motion field: the distill
+        loss decreases and the transition-diagnostic blend error shrinks
+        vs the random weight init."""
+        import jax
+        import jax.numpy as jnp
+
+        from gaussianprediction_tpu.data.scene import (
+            Scene, synthetic_scene_info,
+        )
+        from gaussianprediction_tpu.train.loop import (
+            Trainer, distill_weight_init, set_super_keypoints,
+        )
+        from gaussianprediction_tpu.models import deform as D
+
+        cfg = small_cfg()
+        info = synthetic_scene_info(
+            n_points=96, n_cams=6, n_test=1, width=32, height=32,
+            dynamic=True, interpret=True,
+        )
+        tr = Trainer(cfg, Scene(info), interpret=True, quiet=True)
+        # a few stage-1 steps so the motion field is non-trivial
+        tr.run(iterations=cfg.train.second_stage_iteration)
+        tr.state = set_super_keypoints(tr.state, cfg, jax.random.PRNGKey(5))
+
+        def blend_err(state):
+            t = jnp.float32(0.4)
+            teach = D.deform_stage1(
+                state.params, cfg, state, t, jnp.int32(10**6),
+                jax.random.PRNGKey(0),
+            ).delta_xyz
+            out = D.deform_stage23(
+                state.params, cfg, state, t,
+                jnp.int32(cfg.train.second_stage_iteration
+                          + cfg.train.xyz_noise_iteration + 10),
+                jax.random.PRNGKey(0),
+                stage2_start=cfg.train.second_stage_iteration,
+            )
+            m = state.alive[:, None]
+            return float(jnp.sqrt(jnp.sum(
+                jnp.where(m, out.delta_xyz - teach, 0.0) ** 2
+            ) / jnp.maximum(jnp.sum(state.alive) * 3, 1)))
+
+        err_before = blend_err(tr.state)
+        state2, losses = distill_weight_init(
+            tr.state, cfg, jax.random.PRNGKey(7), n_steps=60
+        )
+        assert float(losses[-1]) < float(losses[0])
+        err_after = blend_err(state2)
+        assert err_after < err_before

@@ -57,6 +57,11 @@ def build_parser():
                         "tcnn-parity default; 'fourier' is the MXU-native "
                         "fast path (identical convergence in the synthetic "
                         "A/B, ~2.7x faster stage-2 steps on TPU)")
+    p.add_argument("--distill_init_steps", type=int, default=None,
+                   help=">0: pre-fit the blend-weight model to the stage-1 "
+                        "motion field at the stage-2 transition (shrinks "
+                        "the transition PSNR cliff; 0 = reference-faithful "
+                        "random init)")
     p.add_argument("--batch", type=int, default=None,
                    help="gradient accumulation: renders per optimizer step "
                         "(reference train.py:112-133; HyperNeRF recipes "
@@ -106,7 +111,7 @@ def resolve_config(args):
                   "adaptive_interval", "seed", "save_iterations",
                   "checkpoint_iterations", "test_iterations",
                   "use_time_decay", "profile_steps", "profile_from",
-                  "batch"]
+                  "batch", "distill_init_steps"]
     for name in over_model:
         v = getattr(args, name)
         if v is not None:
