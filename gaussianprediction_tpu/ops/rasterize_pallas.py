@@ -675,7 +675,10 @@ def _fwd_kernel_mt(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
         get_dma(c_fin % 2, c_fin).wait()
 
     for j in range(tpb):                # clear the borrowed done channel
-        out_ref[j, :, O_PAD:O_PAD + 1] = jnp.zeros((PIX, 1), jnp.float32)
+        st = out_ref[j]
+        out_ref[j] = jnp.concatenate(
+            [st[:, :O_PAD], jnp.zeros((PIX, 1), jnp.float32)], axis=1
+        )
 
 
 def _bwd_kernel_mt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
