@@ -103,20 +103,10 @@ def main():
     # static capacity, and production runs size capacity per scene the same
     # way (Trainer warns + callers re-jit on overflow). The probe is a tiny
     # projection-only jit: n_total = sum of capped tile-rect areas.
-    from gaussianprediction_tpu.ops import instance_stream as IS
-    from gaussianprediction_tpu.ops import projection as PJ
+    from gaussianprediction_tpu.ops.instance_stream import probe_slot_need
 
     def probe_total(xyz, scal, rot):
-        rotn = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-        proj = PJ.project_from_params(xyz, scal, rotn, cam, W, H, opacity=op)
-        x0, y0, rw, rh = IS._capped_rect(
-            proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
-        )
-        rw = jnp.where(proj.visible, rw, 0)
-        rh = jnp.where(proj.visible, rh, 0)
-        # every Gaussian owns >= 1 slot (sentinel singletons for
-        # empty ones) in the no-depth-sort stream
-        return jnp.sum(jnp.maximum(rw * rh, 1))
+        return probe_slot_need(xyz, scal, rot, op, cam, W, H)
 
     n_probe = int(jax.jit(probe_total)(xyz, scal, rot))
     mult = max(2, -(-int(n_probe * 1.2) // N))

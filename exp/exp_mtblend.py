@@ -35,8 +35,7 @@ def main():
     from gaussianprediction_tpu.data.synthetic import (
         orbit_camera, random_gaussians,
     )
-    from gaussianprediction_tpu.ops import instance_stream as IS
-    from gaussianprediction_tpu.ops import projection as PJ
+    from gaussianprediction_tpu.ops.instance_stream import probe_slot_need
     from gaussianprediction_tpu.ops import rasterize as R
 
     W = H = args.wh
@@ -55,14 +54,7 @@ def main():
     )
 
     def probe_total(xyz, scal, rot):
-        rotn = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-        proj = PJ.project_from_params(xyz, scal, rotn, cam, W, H, opacity=op)
-        x0, y0, rw, rh = IS._capped_rect(
-            proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
-        )
-        rw = jnp.where(proj.visible, rw, 0)
-        rh = jnp.where(proj.visible, rh, 0)
-        return jnp.sum(jnp.maximum(rw * rh, 1))
+        return probe_slot_need(xyz, scal, rot, op, cam, W, H)
 
     n_probe = int(jax.jit(probe_total)(xyz, scal, rot))
     mult = max(2, -(-int(n_probe * 1.2) // N))
@@ -118,14 +110,16 @@ def main():
             _ = float(l)
         ms = (time.time() - t0) / (args.iters * REPS) * 1000
 
-        # forward-image parity vs classic
+        # forward-image parity: baseline is the CLASSIC config only
         (l1, (nd1, img)), _ = vg(xyz, scal, rot, op, shs)
         img = np.asarray(img)
-        if ref_img is None:
+        if tpb == 0:
             ref_img = img
             parity = 0.0
-        else:
+        elif ref_img is not None:
             parity = float(np.max(np.abs(img - ref_img)))
+        else:
+            parity = None  # classic config absent/failed: no baseline
         row = {"tpb": tpb, "kx": kx, "ms": round(ms, 2),
                "n_dropped": int(nd), "compile_s": round(compile_s, 1),
                "fwd_max_abs_vs_classic": parity}

@@ -110,6 +110,33 @@ def _capped_rect(tmin, tmax, center_px, max_tiles: int):
     return x0, y0, rw_c, rh_c
 
 
+def probe_slot_need(xyz, scaling, rotation, opacity, cam, width: int,
+                    height: int, alive=None, max_tiles: int = 1024):
+    """Projection-only instance-slot count for ONE camera: the number of
+    stream slots build_instances would emit (capped exact-support rects,
+    plus the >= 1 sentinel singleton every Gaussian owns). The single
+    source of truth for capacity sizing — used by Trainer._auto_capacity
+    and every bench/tool that probe-sizes the instance buffer (keep them
+    identical or bench-vs-training cost comparisons break).
+
+    scaling/opacity must be ACTIVATED; rotation may be unnormalized."""
+    from gaussianprediction_tpu.ops import projection as PJ
+
+    rot = rotation / jnp.maximum(
+        jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-12
+    )
+    proj = PJ.project_from_params(
+        xyz, scaling, rot, cam, width, height, alive=alive,
+        opacity=opacity,
+    )
+    x0, y0, rw, rh = _capped_rect(
+        proj.tiles_min, proj.tiles_max, proj.mean2d, max_tiles
+    )
+    rw = jnp.where(proj.visible, rw, 0)
+    rh = jnp.where(proj.visible, rh, 0)
+    return jnp.sum(jnp.maximum(rw * rh, 1))
+
+
 def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
                         grid_x: int, grid_y: int, capacity: int,
                         max_tiles: int, interpret=None):

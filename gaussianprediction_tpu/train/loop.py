@@ -63,7 +63,7 @@ def set_super_keypoints(state: G.GaussianState, cfg: Config, key):
     return state.replace(params=params, kpt_alive=kpt_alive)
 
 
-def distill_weight_init(state: G.GaussianState, cfg: Config, key,
+def distill_weight_init(state: G.GaussianState, cfg: Config,
                         n_steps: int, n_times: int = 8):
     """Pre-fit the blend-weight model to the stage-1 motion field
     (cfg.train.distill_init_steps; TPU-era improvement over the
@@ -264,23 +264,16 @@ class Trainer:
         from gaussianprediction_tpu.models.gaussians import (
             opacity_act, scaling_act,
         )
-        from gaussianprediction_tpu.ops import instance_stream as IS
-        from gaussianprediction_tpu.ops import projection as PJ
+        from gaussianprediction_tpu.ops.instance_stream import (
+            probe_slot_need,
+        )
 
         def _probe(params, alive, cam_d):
-            rot = params["rotation"]
-            rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-            proj = PJ.project_from_params(
-                params["xyz"], scaling_act(params["scaling"]), rot, cam_d,
+            return probe_slot_need(
+                params["xyz"], scaling_act(params["scaling"]),
+                params["rotation"], opacity_act(params["opacity"]), cam_d,
                 self.width, self.height, alive=alive,
-                opacity=opacity_act(params["opacity"]),
             )
-            x0, y0, rw, rh = IS._capped_rect(
-                proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
-            )
-            rw = jnp.where(proj.visible, rw, 0)
-            rh = jnp.where(proj.visible, rh, 0)
-            return jnp.sum(jnp.maximum(rw * rh, 1))
 
         self._jit_probe = jax.jit(_probe)
         if cfg.model.capacity_auto:
@@ -467,12 +460,12 @@ class Trainer:
             self.key, k = jax.random.split(self.key)
             self.state = self._jit_set_kpts(self.state, k)
             if cfg.train.distill_init_steps > 0:
-                self.key, kd = jax.random.split(self.key)
+                # deterministic given (state, cfg): no RNG consumed
                 self.state, dlosses = jax.jit(
-                    lambda s, k_: distill_weight_init(
-                        s, cfg, k_, cfg.train.distill_init_steps
+                    lambda s: distill_weight_init(
+                        s, cfg, cfg.train.distill_init_steps
                     )
-                )(self.state, kd)
+                )(self.state)
                 if not self.quiet:
                     print(
                         f"[iter {iteration}] distill init: blend-teacher "

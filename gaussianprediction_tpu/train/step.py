@@ -40,10 +40,14 @@ from gaussianprediction_tpu.utils.schedules import linear_anneal
 def deform_for_stage(params, cfg, state, t, iteration, key, stage: int,
                      noise=None):
     if stage == 0:
+        assert noise is None, "pre-drawn noise only applies to stage 1"
         return D.deform_warmup(params, cfg)
     if stage == 1:
         return D.deform_stage1(params, cfg, state, t, iteration, key,
                                noise=noise)
+    # stage 2/3 noise perturbs KEYPOINT positions, which are replicated
+    # (never sharded) — pre-drawn per-Gaussian noise has no meaning here
+    assert noise is None, "pre-drawn noise only applies to stage 1"
     return D.deform_stage23(params, cfg, state, t, iteration, key)
 
 

@@ -672,9 +672,7 @@ class TestDistillInit:
             ) / jnp.maximum(jnp.sum(state.alive) * 3, 1)))
 
         err_before = blend_err(tr.state)
-        state2, losses = distill_weight_init(
-            tr.state, cfg, jax.random.PRNGKey(7), n_steps=60
-        )
+        state2, losses = distill_weight_init(tr.state, cfg, n_steps=60)
         assert float(losses[-1]) < float(losses[0])
         err_after = blend_err(state2)
         assert err_after < err_before

@@ -50,8 +50,7 @@ def main():
     from gaussianprediction_tpu.data.synthetic import (
         orbit_camera, random_gaussians,
     )
-    from gaussianprediction_tpu.ops import instance_stream as IS
-    from gaussianprediction_tpu.ops import projection as PJ
+    from gaussianprediction_tpu.ops.instance_stream import probe_slot_need
     from gaussianprediction_tpu.ops import rasterize as R
     from gaussianprediction_tpu.ops.projection import TILE
 
@@ -74,16 +73,7 @@ def main():
     )
 
     def probe_total(xyz, scal, rot):
-        rotn = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-        proj = PJ.project_from_params(xyz, scal, rotn, cam, W, H, opacity=op)
-        x0, y0, rw, rh = IS._capped_rect(
-            proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
-        )
-        rw = jnp.where(proj.visible, rw, 0)
-        rh = jnp.where(proj.visible, rh, 0)
-        # every Gaussian owns >= 1 slot (sentinel singletons for
-        # empty ones) in the no-depth-sort stream
-        return jnp.sum(jnp.maximum(rw * rh, 1))
+        return probe_slot_need(xyz, scal, rot, op, cam, W, H)
 
     n_probe = int(jax.jit(probe_total)(xyz, scal, rot))
     mult_full = max(2.0, n_probe * 1.2 / N)

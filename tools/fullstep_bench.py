@@ -51,8 +51,7 @@ def main():
     from gaussianprediction_tpu.models.gaussians import (
         opacity_act, scaling_act,
     )
-    from gaussianprediction_tpu.ops import instance_stream as IS
-    from gaussianprediction_tpu.ops import projection as PJ
+    from gaussianprediction_tpu.ops.instance_stream import probe_slot_need
     from gaussianprediction_tpu.train import optimizer as opt_mod
     from gaussianprediction_tpu.train.loop import set_super_keypoints
     from gaussianprediction_tpu.train.step import make_train_step
@@ -75,18 +74,11 @@ def main():
     bg = np.zeros(3, np.float32)
 
     def probe(params, alive):
-        rot = params["rotation"]
-        rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-        proj = PJ.project_from_params(
-            params["xyz"], scaling_act(params["scaling"]), rot, cam, W, H,
-            alive=alive, opacity=opacity_act(params["opacity"]),
+        return probe_slot_need(
+            params["xyz"], scaling_act(params["scaling"]),
+            params["rotation"], opacity_act(params["opacity"]), cam, W, H,
+            alive=alive,
         )
-        x0, y0, rw, rh = IS._capped_rect(
-            proj.tiles_min, proj.tiles_max, proj.mean2d, 1024
-        )
-        rw = jnp.where(proj.visible, rw, 0)
-        rh = jnp.where(proj.visible, rh, 0)
-        return jnp.sum(jnp.maximum(rw * rh, 1))
 
     need = int(jax.jit(probe)(state0.params, state0.alive))
     mult = max(2.0, math.ceil(1.3 * need / max(state0.capacity, 1) * 2.0)
