@@ -89,6 +89,18 @@ def main():
     state_kpts = jax.jit(lambda s, k: set_super_keypoints(s, cfg, k))(
         state0, jax.random.PRNGKey(1)
     )
+    # separate fourier-encoder state: the weight MLP input width differs
+    # (fourier feature dim vs hash_levels*hash_features)
+    cfg.model.weight_encoder = "fourier"
+    state_fourier = jax.jit(lambda s, k: set_super_keypoints(s, cfg, k))(
+        G.create_from_pcd(
+            jax.random.PRNGKey(0), cfg, g["xyz"],
+            np.random.default_rng(0).uniform(
+                0, 1, (args.n, 3)).astype(np.float32),
+        ),
+        jax.random.PRNGKey(1),
+    )
+    cfg.model.weight_encoder = "hashgrid"
 
     results = {}
     runs = [("stage0", 0, "hashgrid"), ("stage1", 1, "hashgrid"),
@@ -96,11 +108,10 @@ def main():
             ("stage2_fourier", 2, "fourier"), ("stage3", 3, "hashgrid")]
     for name, stage, encoder in runs:
         cfg.model.weight_encoder = encoder
-        st = state_kpts if stage >= 2 else state0
-        if encoder == "fourier" and "hash_tables" in st.params:
-            params = {k: v for k, v in st.params.items()
-                      if k != "hash_tables"}
-            st = st.replace(params=params)
+        if encoder == "fourier":
+            st = state_fourier
+        else:
+            st = state_kpts if stage >= 2 else state0
         st = jax.tree.map(jnp.copy, st)
         opt_state = opt_mod.init_adam(st.params)
         it0 = {0: 500, 1: 3500, 2: 31000, 3: 61000}[stage]
