@@ -112,25 +112,44 @@ def init_gcn(key, input_f: int, hidden_f: int, output_f: int, num_stage: int,
     return params, bn_state
 
 
-def gcn_apply(params, bn_state, x, train: bool):
-    """x: [B, nodes, input_f] -> ([B, nodes, output_f], bn_state')."""
+def _dropout(x, p: float, key, train: bool):
+    """Inverted dropout (torch nn.Dropout twin); identity when p == 0
+    (the reference's default — no key consumed, no graph change)."""
+    if not train or p <= 0.0:
+        return x
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def gcn_apply(params, bn_state, x, train: bool, p_dropout: float = 0.0,
+              key=None):
+    """x: [B, nodes, input_f] -> ([B, nodes, output_f], bn_state').
+
+    Dropout placement matches the reference (gcn.py:165-176,221-230):
+    after the in-proj tanh and after each GC_Block tanh; none after the
+    output head."""
+    if p_dropout > 0.0 and train:
+        assert key is not None, "dropout > 0 needs an rng key"
+    dk = (lambda i: jax.random.fold_in(key, i)) if key is not None else (
+        lambda i: None)
     new_bn = {}
     y = graph_conv(params["gc1"], x)
     y, new_bn["bn1"] = batch_norm(
         params["bn1"], bn_state["bn1"], y, train
     )
-    y = jnp.tanh(y)
+    y = _dropout(jnp.tanh(y), p_dropout, dk(0), train)
     for i, blk in enumerate(params["blocks"]):
         z = graph_conv(blk["gc1"], y)
         z, new_bn[f"block{i}_bn1"] = batch_norm(
             blk["bn1"], bn_state[f"block{i}_bn1"], z, train
         )
-        z = jnp.tanh(z)
+        z = _dropout(jnp.tanh(z), p_dropout, dk(1 + 2 * i), train)
         z = graph_conv(blk["gc2"], z)
         z, new_bn[f"block{i}_bn2"] = batch_norm(
             blk["bn2"], bn_state[f"block{i}_bn2"], z, train
         )
-        z = jnp.tanh(z)
+        z = _dropout(jnp.tanh(z), p_dropout, dk(2 + 2 * i), train)
         y = y + z
     if "out_gc" in params:
         y = graph_conv(params["out_gc"], y)
@@ -155,15 +174,21 @@ def init_gcn_xyzr(key, input_f: int, hidden_f: int, output_f: int,
     return {"xyz": px, "rot": pr}, {"xyz": sx, "rot": sr}
 
 
-def gcn_xyzr_apply(params, bn_state, x, r, train: bool):
+def gcn_xyzr_apply(params, bn_state, x, r, train: bool,
+                   p_dropout: float = 0.0, key=None):
     """x: [B, 3, nodes, F_in], r: [B, 4, nodes, F_in] ->
     (x' [B, 3, nodes, F_out], r' normalized over channel dim, bn_state')."""
     B, C, N, F = x.shape
+    kx = kr = None
+    if key is not None:
+        kx, kr = jax.random.split(key)
     xo, sx = gcn_apply(
-        params["xyz"], bn_state["xyz"], x.reshape(B, C * N, F), train
+        params["xyz"], bn_state["xyz"], x.reshape(B, C * N, F), train,
+        p_dropout, kx,
     )
     ro, sr = gcn_apply(
-        params["rot"], bn_state["rot"], r.reshape(B, 4 * N, F), train
+        params["rot"], bn_state["rot"], r.reshape(B, 4 * N, F), train,
+        p_dropout, kr,
     )
     xo = xo.reshape(B, C, N, -1)
     ro = ro.reshape(B, 4, N, -1)

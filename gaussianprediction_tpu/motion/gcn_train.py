@@ -40,6 +40,7 @@ class GCNConfig:
     noise_step: int = 100
     norm_rotation: bool = False
     no_mapping: bool = False
+    dropout: float = 0.0
 
 
 def _to_model_layout(x):
@@ -52,12 +53,12 @@ def _from_model_layout(x):
 
 
 def gcn_forward(params, bn_state, xyz_in, rot_in, cfg: GCNConfig,
-                train: bool):
+                train: bool, key=None):
     """operate() twin: window [B, frames, K, C] -> prediction
     [B, output, K, C]."""
     xo, ro, bn2 = GCN.gcn_xyzr_apply(
         params, bn_state, _to_model_layout(xyz_in), _to_model_layout(rot_in),
-        train,
+        train, cfg.dropout, key,
     )
     xo = _from_model_layout(xo)
     ro = _from_model_layout(ro)
@@ -85,17 +86,18 @@ def train_gcn(
         "step": jnp.int32(0),
     }
 
-    def loss_fn(params, bn_state, xi, ri, xg, rg):
-        xo, ro, bn2 = gcn_forward(params, bn_state, xi, ri, cfg, train=True)
+    def loss_fn(params, bn_state, xi, ri, xg, rg, dkey):
+        xo, ro, bn2 = gcn_forward(params, bn_state, xi, ri, cfg,
+                                  train=True, key=dkey)
         loss = jnp.mean(jnp.linalg.norm(xo - xg, axis=-1)) + jnp.mean(
             jnp.linalg.norm(ro - rg, axis=-1)
         )
         return loss, bn2
 
     @jax.jit
-    def step(params, bn_state, opt_state, lr, xi, ri, xg, rg):
+    def step(params, bn_state, opt_state, lr, xi, ri, xg, rg, dkey):
         (loss, bn2), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, bn_state, xi, ri, xg, rg
+            params, bn_state, xi, ri, xg, rg, dkey
         )
         b1, b2, eps = 0.9, 0.999, 1e-15
         t = opt_state["step"] + 1
@@ -144,11 +146,12 @@ def train_gcn(
                         np.linalg.norm(ri_n, axis=-1, keepdims=True), 1e-12
                     )
                 ri = ri_n
+            key, dkey = jax.random.split(key)
             params, bn_state, opt_state, loss = step(
                 params, bn_state, opt_state, jnp.float32(lr),
                 jnp.asarray(xi, jnp.float32), jnp.asarray(ri, jnp.float32),
                 jnp.asarray(windows.xyz_gt[sel]),
-                jnp.asarray(windows.rot_gt[sel]),
+                jnp.asarray(windows.rot_gt[sel]), dkey,
             )
             losses.append(float(loss))
         if losses:

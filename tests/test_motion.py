@@ -164,3 +164,33 @@ class TestGCNTraining:
         assert k.shape == (12, 3, 3)
         assert kr.shape == (12, 3, 4)
         assert np.isfinite(k).all() and np.isfinite(kr).all()
+
+
+class TestDropout:
+    def test_dropout_train_vs_eval(self):
+        """--dropout parity (reference gcn_training): train mode with p>0
+        stochastically zeroes activations (inverted scaling), eval mode is
+        deterministic and identical to p=0."""
+        import jax
+        import jax.numpy as jnp
+
+        from gaussianprediction_tpu.models import gcn as GCN
+
+        params, bn = GCN.init_gcn_xyzr(
+            jax.random.PRNGKey(0), input_f=4, hidden_f=16, output_f=1,
+            num_stage=1, node_n=5,
+        )
+        x = jnp.ones((2, 3, 5, 4))
+        r = jnp.ones((2, 4, 5, 4))
+        xo0, _, _ = GCN.gcn_xyzr_apply(params, bn, x, r, train=False,
+                                       p_dropout=0.5,
+                                       key=jax.random.PRNGKey(1))
+        xo_ref, _, _ = GCN.gcn_xyzr_apply(params, bn, x, r, train=False)
+        np.testing.assert_array_equal(np.asarray(xo0), np.asarray(xo_ref))
+        xa, _, _ = GCN.gcn_xyzr_apply(params, bn, x, r, train=True,
+                                      p_dropout=0.5,
+                                      key=jax.random.PRNGKey(1))
+        xb, _, _ = GCN.gcn_xyzr_apply(params, bn, x, r, train=True,
+                                      p_dropout=0.5,
+                                      key=jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(xa), np.asarray(xb))

@@ -46,6 +46,15 @@ def main():
     p.add_argument("--output_size", type=int, default=1)
     p.add_argument("--noise_init", type=float, default=0.1)
     p.add_argument("--noise_step", type=int, default=100)
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="GCN dropout prob (reference gcn_training "
+                        "--dropout; recipes use the 0 default)")
+    p.add_argument("--no_mapping", action="store_true",
+                   help="graph-conv output head instead of the 2-layer "
+                        "MLP (reference --no_mapping)")
+    p.add_argument("--evaluate", action="store_true",
+                   help="skip training; requires --load (reference "
+                        "--evaluate at train_GCN.py:81)")
     p.add_argument("--predict_more", action="store_true")
     p.add_argument("--load", default=None, metavar="GCN_CKPT_NPZ",
                    help="reload a trained GCN from gcn_ckpt.npz instead of "
@@ -102,6 +111,8 @@ def main():
 
     out_dir = os.path.join(args.model_path, args.exp_name)
     os.makedirs(out_dir, exist_ok=True)
+    if args.evaluate and not args.load:
+        p.error("--evaluate requires --load <gcn_ckpt.npz>")
     if args.load:
         params, bn, gcfg, n_kpts, hist = load_gcn_checkpoint(args.load)
         assert n_kpts == traj.n_kpts, (
@@ -118,6 +129,7 @@ def main():
             epochs=args.epoch, batch_size=args.batch_size,
             noise_init=args.noise_init, noise_step=args.noise_step,
             norm_rotation=cfg.model.norm_rotation,
+            no_mapping=args.no_mapping, dropout=args.dropout,
         )
         params, bn, hist = train_gcn(windows, traj.n_kpts, gcfg)
         save_gcn_checkpoint(
