@@ -180,8 +180,9 @@ class TestDropout:
             jax.random.PRNGKey(0), input_f=4, hidden_f=16, output_f=1,
             num_stage=1, node_n=5,
         )
-        x = jnp.ones((2, 3, 5, 4))
-        r = jnp.ones((2, 4, 5, 4))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 3, 5, 4)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(2, 4, 5, 4)), jnp.float32)
         xo0, _, _ = GCN.gcn_xyzr_apply(params, bn, x, r, train=False,
                                        p_dropout=0.5,
                                        key=jax.random.PRNGKey(1))
