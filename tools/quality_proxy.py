@@ -57,6 +57,63 @@ REL_MARGIN_DB = 0.75
 PSNR_ASPIRATIONAL = 28.0
 
 
+def build_proxy_cfg(arm: str, S: int, n_points: int,
+                    cpu_tiny: bool = False, distill_steps: int = 0):
+    """The per-arm compressed D-NeRF recipe (module-level so follow-up
+    experiments — e.g. the distillation arm reusing a phase-1 checkpoint —
+    reconstruct the identical config)."""
+    from gaussianprediction_tpu.config import (
+        Config, ModelConfig, OptimizationConfig, TrainConfig,
+    )
+
+    scl = S / 60_000.0
+    stage1_only = arm == "stage1"
+    encoder = "hashgrid" if stage1_only else arm.split("+")[0]
+    cfg = Config()
+    cfg.model = ModelConfig(
+        sh_degree=3 if not cpu_tiny else 1,
+        max_points=50, adaptive_points_num=50,
+        feature_dim=32 if not cpu_tiny else 8,
+        d=4, w=128 if not cpu_tiny else 32,
+        weight_encoder=encoder,
+        hash_levels=16 if not cpu_tiny else 4,
+        hash_log2_T=17 if not cpu_tiny else 10,
+        hash_max_res=512 if not cpu_tiny else 64,
+        max_gaussian_size=(n_points * 12 if not cpu_tiny else 512),
+        capacity_multiplier=24,
+        # D-NeRF recipe flags (scripts/train/d-nerf/bouncingballs.sh):
+        norm_rotation=True,
+        feature_amplify=0.5,
+    )
+    cfg.opt = OptimizationConfig(
+        iterations=S,
+        position_lr_max_steps=int(40_000 * scl),
+        densify_from_iter=max(int(3000 * scl), 30),
+        densify_until_iter=int(20_000 * scl),
+        densification_interval=max(int(100 * scl * 10), 20),
+        opacity_reset_interval=max(int(3000 * scl), 100),
+        time_freq=6,
+    )
+    s2 = int(30_000 * scl) if not stage1_only else S + 10
+    s3 = int(40_000 * scl) if not stage1_only else S + 20
+    cfg.train = TrainConfig(
+        jointly_iteration=max(int(1000 * scl), 10),
+        second_stage_iteration=s2,
+        third_stage_iteration=s3,
+        time_noise_iteration=max(int(10_000 * scl), 10),
+        xyz_noise_iteration=max(int(10_000 * scl), 10),
+        adaptive_from_iter=max(int(3000 * scl), 10),
+        adaptive_end_iter=int(10_000 * scl),
+        adaptive_interval=max(int(500 * scl), 10),
+        use_time_decay=False,  # D-NeRF recipe: flag absent
+        distill_init_steps=distill_steps,
+        test_iterations=(s2, S) if not stage1_only else (
+            int(30_000 * scl), S),
+        save_iterations=(), checkpoint_iterations=(),
+    )
+    return cfg
+
+
 def grade_arms(arms: dict) -> None:
     """Apply the pass criteria in-place (also used to regrade an existing
     QUALITY.json after a criteria change)."""
@@ -111,9 +168,6 @@ def main():
 
     enable_compilation_cache()
 
-    from gaussianprediction_tpu.config import (
-        Config, ModelConfig, OptimizationConfig, TrainConfig,
-    )
     from gaussianprediction_tpu.data.scene import (
         Scene, synthetic_scene_info,
     )
@@ -122,53 +176,9 @@ def main():
 
     S = args.steps  # compressed schedule horizon (reference: 60k)
 
-    def proxy_cfg(arm: str) -> Config:
-        scl = S / 60_000.0
-        stage1_only = arm == "stage1"
-        encoder = "hashgrid" if stage1_only else arm
-        cfg = Config()
-        cfg.model = ModelConfig(
-            sh_degree=3 if not args.cpu_tiny else 1,
-            max_points=50, adaptive_points_num=50,
-            feature_dim=32 if not args.cpu_tiny else 8,
-            d=4, w=128 if not args.cpu_tiny else 32,
-            weight_encoder=encoder,
-            hash_levels=16 if not args.cpu_tiny else 4,
-            hash_log2_T=17 if not args.cpu_tiny else 10,
-            hash_max_res=512 if not args.cpu_tiny else 64,
-            max_gaussian_size=(args.n_points * 12
-                               if not args.cpu_tiny else 512),
-            capacity_multiplier=24,
-            # D-NeRF recipe flags (scripts/train/d-nerf/bouncingballs.sh):
-            norm_rotation=True,
-            feature_amplify=0.5,
-        )
-        cfg.opt = OptimizationConfig(
-            iterations=S,
-            position_lr_max_steps=int(40_000 * scl),
-            densify_from_iter=max(int(3000 * scl), 30),
-            densify_until_iter=int(20_000 * scl),
-            densification_interval=max(int(100 * scl * 10), 20),
-            opacity_reset_interval=max(int(3000 * scl), 100),
-            time_freq=6,
-        )
-        s2 = int(30_000 * scl) if not stage1_only else S + 10
-        s3 = int(40_000 * scl) if not stage1_only else S + 20
-        cfg.train = TrainConfig(
-            jointly_iteration=max(int(1000 * scl), 10),
-            second_stage_iteration=s2,
-            third_stage_iteration=s3,
-            time_noise_iteration=max(int(10_000 * scl), 10),
-            xyz_noise_iteration=max(int(10_000 * scl), 10),
-            adaptive_from_iter=max(int(3000 * scl), 10),
-            adaptive_end_iter=int(10_000 * scl),
-            adaptive_interval=max(int(500 * scl), 10),
-            use_time_decay=False,  # D-NeRF recipe: flag absent
-            test_iterations=(s2, S) if not stage1_only else (
-                int(30_000 * scl), S),
-            save_iterations=(), checkpoint_iterations=(),
-        )
-        return cfg
+    def proxy_cfg(arm):
+        return build_proxy_cfg(arm, S, args.n_points,
+                               cpu_tiny=args.cpu_tiny)
 
     print(f"building {args.size}x{args.size} x {args.frames}-frame "
           f"synthetic scene ({args.n_points} gt points)...", flush=True)
