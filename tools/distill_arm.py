@@ -35,6 +35,11 @@ def main():
     p.add_argument("--n_test", type=int, default=5)
     p.add_argument("--n_points", type=int, default=2000)
     p.add_argument("--distill", type=int, default=500)
+    p.add_argument("--reseed", type=int, default=0,
+                   help="fold this into the restored RNG key: with "
+                        "--distill 0 this reruns the FAITHFUL phase 2 on "
+                        "a fresh trajectory from the same checkpoint — "
+                        "seed-noise evidence for the pass margin")
     p.add_argument("--steps_per_call", type=int, default=10)
     args = p.parse_args()
 
@@ -68,8 +73,13 @@ def main():
                  steps_per_call=args.steps_per_call)
     tr.load_checkpoint(ckpt)
     assert tr.iteration == s2, tr.iteration
+    if args.reseed:
+        import jax
 
-    arm_name = f"{args.arm}+distill"
+        tr.key = jax.random.fold_in(tr.key, args.reseed)
+
+    arm_name = f"{args.arm}+distill" if args.distill else (
+        f"{args.arm}+seed{args.reseed}")
     mp = os.path.join(args.out, arm_name)
     os.makedirs(mp, exist_ok=True)
     tr._maybe_stage_transition(s2 + 1)  # kpts + distill (idempotent)
