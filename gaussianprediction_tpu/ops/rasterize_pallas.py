@@ -213,7 +213,7 @@ def _pixel_coords(tile_idx, grid_x):
 
 
 def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
-                *, grid_x, with_tidx: bool = True):
+                *, grid_x, with_tidx: bool = True, nbuf: int = 2):
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
@@ -233,9 +233,12 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
             sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    # (nbuf-1)-deep prefetch: with nbuf=3 chunk c+2 is in flight while c
+    # computes, hiding one extra DMA latency (GPT_BLEND_NBUF A/B)
+    for w in range(nbuf - 1):
+        @pl.when(w < nchunks)
+        def _(w=w):
+            get_dma(w % nbuf, w).start()
 
     def cond(state):
         c, T, done, acc, wmax, bgid = state
@@ -244,12 +247,12 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     def body(state):
         c, T, done, acc, wmax, bgid = state
 
-        @pl.when(c + 1 < nchunks)
+        @pl.when(c + (nbuf - 1) < nchunks)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma((c + (nbuf - 1)) % nbuf, c + (nbuf - 1)).start()
 
-        get_dma(c % 2, c).wait()
-        data = chunk_vmem[c % 2]
+        get_dma(c % nbuf, c).wait()
+        data = chunk_vmem[c % nbuf]
         q = _chunk_quantities(data, px, py, T, done,
                               start - off0 - c * KCHUNK,
                               span - c * KCHUNK)
@@ -292,10 +295,11 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     )
     c_fin, T, done, acc, wmax, bgid = jax.lax.while_loop(cond, body, init)
 
-    # drain the prefetched-but-unconsumed DMA after an early exit
-    @pl.when(c_fin < nchunks)
-    def _():
-        get_dma(c_fin % 2, c_fin).wait()
+    # drain the prefetched-but-unconsumed DMAs after an early exit
+    for w in range(nbuf - 1):
+        @pl.when(c_fin + w < nchunks)
+        def _(w=w):
+            get_dma((c_fin + w) % nbuf, c_fin + w).wait()
 
     out_ref[0] = jnp.concatenate(
         [acc, T, wmax, bgid, jnp.zeros((PIX, 1), jnp.float32)], axis=1
@@ -304,7 +308,7 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
 
 def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
                 dinst_ref, chunk_vmem, dchunk_vmem, old_vmem, sems, wsems,
-                rmw_sem, *, grid_x, kchunk=KCHUNK_BWD):
+                rmw_sem, *, grid_x, kchunk=KCHUNK_BWD, nbuf: int = 2):
     t = pl.program_id(0)
     start = start_ref[t]
     end = end_ref[t]
@@ -385,9 +389,10 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             def _(h=h):
                 put_dma_h(slot, c, h).wait()
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    for w in range(nbuf - 1):
+        @pl.when(w < nchunks)
+        def _(w=w):
+            get_dma(w % nbuf, w).start()
 
     def cond(state):
         c, T, done, S = state
@@ -396,12 +401,12 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     def body(state):
         c, T, done, S = state
 
-        @pl.when(c + 1 < nchunks)
+        @pl.when(c + (nbuf - 1) < nchunks)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma((c + (nbuf - 1)) % nbuf, c + (nbuf - 1)).start()
 
-        get_dma(c % 2, c).wait()
-        data = chunk_vmem[c % 2]
+        get_dma(c % nbuf, c).wait()
+        data = chunk_vmem[c % nbuf]
         q = _chunk_quantities(data, px, py, T, done,
                               start - off0 - c * kchunk,
                               span - c * kchunk)
@@ -510,9 +515,10 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
     )
     c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
 
-    @pl.when(c_fin < nchunks)           # drain unconsumed read prefetch
-    def _():
-        get_dma(c_fin % 2, c_fin).wait()
+    for w in range(nbuf - 1):           # drain unconsumed read prefetches
+        @pl.when(c_fin + w < nchunks)
+        def _(w=w):
+            get_dma((c_fin + w) % nbuf, c_fin + w).wait()
 
     @pl.when(c_fin >= 2)                # drain outstanding writes
     def _():
@@ -970,6 +976,7 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
         )(ts, te, instT)
         return out[:num_tiles]
     instT = _pad_inst_T(instT)
+    nbuf = int(os.environ.get("GPT_BLEND_NBUF", "2"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -978,12 +985,13 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
             (1, PIX, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, KCHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, NCH, KCHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_x=grid_x, with_tidx=with_tidx),
+        functools.partial(_fwd_kernel, grid_x=grid_x, with_tidx=with_tidx,
+                          nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1057,6 +1065,7 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
 
     instT = _pad_inst_T(instT0, KCHUNK_BWD)
     dinst_init = jnp.zeros_like(instT)
+    nbuf = int(os.environ.get("GPT_BLEND_NBUF", "2"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -1068,16 +1077,16 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCH, KCHUNK_BWD), jnp.float32),
+            pltpu.VMEM((nbuf, NCH, KCHUNK_BWD), jnp.float32),
             pltpu.VMEM((2, NCH, KCHUNK_BWD), jnp.float32),
             pltpu.VMEM((NCH, CHUNK), jnp.float32),    # RMW head-block readback
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA((2, KCHUNK_BWD // CHUNK)),
             pltpu.SemaphoreType.DMA,
         ],
     )
     dinstT = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_x=grid_x),
+        functools.partial(_bwd_kernel, grid_x=grid_x, nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct(instT.shape, jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={4: 0},  # zero-initialized dinst is donated
