@@ -86,20 +86,31 @@ def main():
     cfg.model.capacity_multiplier = mult
     print(f"probe: {need} slots -> mult {mult}", flush=True)
 
-    state_kpts = jax.jit(lambda s, k: set_super_keypoints(s, cfg, k))(
-        state0, jax.random.PRNGKey(1)
-    )
+    # Host-side (numpy) state snapshots: at mult ~12 the stage-2 step plus
+    # several resident device states exhausts HBM — materialize one device
+    # state per run and free it afterwards.
+    def to_host(s):
+        return jax.tree.map(np.asarray, s)
+
+    host = {}
+    host["base"] = to_host(state0)
+    host["kpts"] = to_host(jax.jit(
+        lambda s, k: set_super_keypoints(s, cfg, k)
+    )(state0, jax.random.PRNGKey(1)))
+    del state0
     # separate fourier-encoder state: the weight MLP input width differs
     # (fourier feature dim vs hash_levels*hash_features)
     cfg.model.weight_encoder = "fourier"
-    state_fourier = jax.jit(lambda s, k: set_super_keypoints(s, cfg, k))(
+    host["fourier"] = to_host(jax.jit(
+        lambda s, k: set_super_keypoints(s, cfg, k)
+    )(
         G.create_from_pcd(
             jax.random.PRNGKey(0), cfg, g["xyz"],
             np.random.default_rng(0).uniform(
                 0, 1, (args.n, 3)).astype(np.float32),
         ),
         jax.random.PRNGKey(1),
-    )
+    ))
     cfg.model.weight_encoder = "hashgrid"
 
     results = {}
@@ -109,10 +120,10 @@ def main():
     for name, stage, encoder in runs:
         cfg.model.weight_encoder = encoder
         if encoder == "fourier":
-            st = state_fourier
+            src = host["fourier"]
         else:
-            st = state_kpts if stage >= 2 else state0
-        st = jax.tree.map(jnp.copy, st)
+            src = host["kpts"] if stage >= 2 else host["base"]
+        st = jax.tree.map(jnp.asarray, src)
         opt_state = opt_mod.init_adam(st.params)
         it0 = {0: 500, 1: 3500, 2: 31000, 3: 61000}[stage]
         _, step_raw, _ = make_train_step(
