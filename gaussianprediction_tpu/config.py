@@ -76,8 +76,15 @@ class ModelConfig:
     #                sort-based VJP (ops/hashgrid.py:hashgrid_encode_fast);
     #   "fourier"  — MXU-pure multi-scale Fourier encoder
     #                (ops/fourier_enc.py), the TPU-first fast path.
+    #   "brick"    — overlapping-brick hash grid (ops/hashgrid.py,
+    #                brickgrid_encode_fast): one 64F-wide row gather per
+    #                (point, level) instead of 8 corner rows — ~8x fewer
+    #                gather rows than the twin on the row-rate-bound TPU
+    #                gather. Same family (multi-res hash + trilinear +
+    #                MLP), different collision structure.
     weight_encoder: str = "hashgrid"
     fourier_per_level: int = 4
+    hash_log2_Tb: int = 16       # brick-encoder table rows per hashed level
     weight_mlp_width: int = 64   # tcnn FullyFusedMLP: 2x64
     weight_mlp_depth: int = 2
     # hash-grid weight model (tcnn config, gaussian_model.py:370-392)

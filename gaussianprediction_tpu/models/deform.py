@@ -101,6 +101,11 @@ def blend_weights(params, cfg: Config, state: GaussianState):
             m.hash_max_res, m.hash_bound,
         )
         enc = fourier_enc.fourier_encode(B, xyz, bound=m.hash_bound)
+    elif m.weight_encoder == "brick":
+        enc = hashgrid.brickgrid_encode_fast(
+            params["hash_tables"], xyz, m.hash_bound,
+            m.hash_min_res, m.hash_max_res,
+        )
     else:
         enc = hashgrid.hashgrid_encode_fast(
             params["hash_tables"], xyz, m.hash_bound,

@@ -142,6 +142,13 @@ def create_from_pcd(
         n_feat = fourier_enc.fourier_feature_dim(
             m.hash_levels, m.fourier_per_level
         )
+    elif m.weight_encoder == "brick":
+        tables = hashgrid.init_brickgrid(
+            k_hash, n_levels=m.hash_levels, n_features=m.hash_features,
+            log2_Tb=m.hash_log2_Tb, n_min=m.hash_min_res,
+            max_res=m.hash_max_res,
+        )
+        n_feat = m.hash_levels * m.hash_features
     else:
         tables = hashgrid.init_hashgrid(
             k_hash, n_levels=m.hash_levels, n_features=m.hash_features,

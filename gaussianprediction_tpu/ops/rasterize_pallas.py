@@ -72,6 +72,30 @@ KCHUNK = CHUNK * int(os.environ.get("GPT_KCHUNK_X", "2"))
 KCHUNK_BWD = CHUNK * int(
     os.environ.get("GPT_KCHUNK_X_BWD", os.environ.get("GPT_KCHUNK_X", "2"))
 )
+
+
+def _split_config():
+    """GPT_BLEND_SPLIT=S computes each streamed [NCH, KCHUNK] chunk in S
+    sequential [PIX, KCHUNK/S] halves (round 5). Rationale: widening
+    KCHUNK amortizes the ~0.8 us/while-iteration fixed cost, but the
+    whole-chunk VPU working set ([PIX, KCHUNK] x ~8 arrays) blows past
+    the vector register file at 512 lanes and Mosaic spills to VMEM
+    (the measured X=4 regression). Splitting keeps the DMA wide (fewer
+    iterations, fewer semaphore waits) while the compute window stays at
+    the register-friendly width. The split is exact: the per-chunk blend
+    math is partition-invariant, and halves chain T/done/S state
+    sequentially exactly as consecutive chunks do."""
+    return max(1, int(os.environ.get("GPT_BLEND_SPLIT", "1")))
+
+
+def _noexit_config() -> bool:
+    """GPT_BLEND_NOEXIT=1 drops the early-exit term from the while
+    condition (round 5). The per-iteration `jnp.min(done)` is a cross-
+    sublane reduction plus a vector->scalar transfer on every loop test;
+    the blend math itself is self-masking through the `contribute` mask,
+    so skipping the check changes cost, not results (saturated tiles
+    stream their tails instead of stopping)."""
+    return os.environ.get("GPT_BLEND_NOEXIT", "0") == "1"
 NCH = 16           # packed f32 channels per instance
 T_EPS = 1e-4
 ALPHA_CLAMP = 0.99
@@ -240,8 +264,14 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
         def _(w=w):
             get_dma(w % nbuf, w).start()
 
+    noexit = _noexit_config()
+    nsplit = _split_config()
+    ksub = KCHUNK // nsplit
+
     def cond(state):
         c, T, done, acc, wmax, bgid = state
+        if noexit:
+            return c < nchunks
         return (c < nchunks) & (jnp.min(done) < 0.5)
 
     def body(state):
@@ -252,38 +282,45 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
             get_dma((c + (nbuf - 1)) % nbuf, c + (nbuf - 1)).start()
 
         get_dma(c % nbuf, c).wait()
-        data = chunk_vmem[c % nbuf]
-        q = _chunk_quantities(data, px, py, T, done,
-                              start - off0 - c * KCHUNK,
-                              span - c * KCHUNK)
-        rgbz = data[C_R:C_R + 4, :]            # [4, KCHUNK]
-        w = q["w"]                              # [PIX, KCHUNK]
-        # color accumulation at bf16 2x2 split precision: the v5e MXU
-        # truncates f32 operands to bf16 at DEFAULT, which puts ~0.4-1.5%
-        # error on accumulated pixel colors — a ~40 dB PSNR ceiling on the
-        # rendered image (TPU-vs-CPU fwd parity measured 1.5e-2 max abs).
-        # Three passes (hi*hi + hi*mid + mid*hi) cut that to ~2^-16.
-        w_h, w_m = _split2(w)
-        c_h, c_m = _split2(rgbz)
+        data_full = chunk_vmem[c % nbuf]
+        for u in range(nsplit):
+            # sub-window u of the chunk: bounds shift by u*ksub; windows
+            # past the segment end self-mask (hi <= 0 => empty in_seg)
+            data = data_full[:, u * ksub:(u + 1) * ksub]
+            q = _chunk_quantities(data, px, py, T, done,
+                                  start - off0 - c * KCHUNK - u * ksub,
+                                  span - c * KCHUNK - u * ksub)
+            rgbz = data[C_R:C_R + 4, :]        # [4, ksub]
+            w = q["w"]                          # [PIX, ksub]
+            # color accumulation at bf16 2x2 split precision: the v5e MXU
+            # truncates f32 operands to bf16 at DEFAULT, which puts
+            # ~0.4-1.5% error on accumulated pixel colors — a ~40 dB PSNR
+            # ceiling on the rendered image (TPU-vs-CPU fwd parity
+            # measured 1.5e-2 max abs). Three passes (hi*hi + hi*mid +
+            # mid*hi) cut that to ~2^-16.
+            w_h, w_m = _split2(w)
+            c_h, c_m = _split2(rgbz)
 
-        def acc_dot(a_bf, b_bf):
-            return jax.lax.dot_general(
-                a_bf, b_bf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            def acc_dot(a_bf, b_bf):
+                return jax.lax.dot_general(
+                    a_bf, b_bf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-        acc = acc + acc_dot(w_h, c_h) + acc_dot(w_h, c_m) + acc_dot(w_m, c_h)
-        if with_tidx:  # training never reads tidx (eval-only output)
-            wm_chunk = jnp.max(w, axis=1, keepdims=True)
-            gid = data[C_GID:C_GID + 1, :]
-            sel_gid = jnp.max(
-                jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=1,
-                keepdims=True,
-            )
-            better = wm_chunk > wmax
-            wmax = jnp.where(better, wm_chunk, wmax)
-            bgid = jnp.where(better, sel_gid, bgid)
-        return c + 1, q["T_out"], q["done_out"], acc, wmax, bgid
+            acc = (acc + acc_dot(w_h, c_h) + acc_dot(w_h, c_m)
+                   + acc_dot(w_m, c_h))
+            if with_tidx:  # training never reads tidx (eval-only output)
+                wm_chunk = jnp.max(w, axis=1, keepdims=True)
+                gid = data[C_GID:C_GID + 1, :]
+                sel_gid = jnp.max(
+                    jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0),
+                    axis=1, keepdims=True,
+                )
+                better = wm_chunk > wmax
+                wmax = jnp.where(better, wm_chunk, wmax)
+                bgid = jnp.where(better, sel_gid, bgid)
+            T, done = q["T_out"], q["done_out"]
+        return c + 1, T, done, acc, wmax, bgid
 
     init = (
         jnp.int32(0),
@@ -394,8 +431,14 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         def _(w=w):
             get_dma(w % nbuf, w).start()
 
+    noexit = _noexit_config()
+    nsplit = _split_config()
+    ksub = kchunk // nsplit
+
     def cond(state):
         c, T, done, S = state
+        if noexit:
+            return c < nchunks
         return (c < nchunks) & (jnp.min(done) < 0.5)
 
     def body(state):
@@ -406,90 +449,96 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             get_dma((c + (nbuf - 1)) % nbuf, c + (nbuf - 1)).start()
 
         get_dma(c % nbuf, c).wait()
-        data = chunk_vmem[c % nbuf]
-        q = _chunk_quantities(data, px, py, T, done,
-                              start - off0 - c * kchunk,
-                              span - c * kchunk)
-        w, contribute = q["w"], q["contribute"]
-
-        rgbz = data[C_R:C_R + 4, :]            # [4, kchunk]
-        # v_{p,i} = c_i . d_rgb_p + z_i * d_z_p    [PIX, CHUNK]
-        # HIGHEST: the v5e MXU truncates f32 dot operands to bf16 by
-        # default; these two dots feed position/covariance gradients
-        # (~3e-4 relative error measured at default precision)
-        v = jax.lax.dot_general(
-            d_rgbz, rgbz, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_bwd_precision(),
-        )
-        wv = w * v
-        S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
-        dalpha = jnp.where(
-            contribute,
-            q["T_run"] * v - (Q - S_incl) / q["om"],
-            0.0,
-        )
-        op = data[C_OP:C_OP + 1, :]
-        dpower = jnp.where(contribute, op * q["Gv"] * dalpha, 0.0)
-
-        # moments Σ_p dpower·{1,x,y,x²,xy,y²} (tile-local coords; see the
-        # `mon` comment above): one MXU contraction, then the six channel
-        # gradients recombine on [1, CHUNK] vectors. The mon side is
-        # EXACT in bf16 (integer monomials <= 225), so a manual bf16x3
-        # split of dpower gives the HIGHEST-precision result in 3 MXU
-        # passes instead of 6 (Mosaic rejects per-operand precision).
-        mon_bf = mon.astype(jnp.bfloat16)
-        dp_h, dp_m, dp_l = _split3(dpower)
-
-        def mon_dot(dp_bf):
-            return jax.lax.dot_general(
-                mon_bf, dp_bf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        mm = mon_dot(dp_h) + mon_dot(dp_m) + mon_dot(dp_l)  # [8, CHUNK]
-        s0 = mm[0:1, :]
-        sx, sy = mm[1:2, :], mm[2:3, :]
-        sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
-        mxl = data[C_MX:C_MX + 1, :] - ox      # [1, CHUNK] local mean
-        myl = data[C_MY:C_MY + 1, :] - oy
-        gx = sx - mxl * s0                     # Σ dpower·dx
-        gy = sy - myl * s0
-        ca = data[C_CA:C_CA + 1, :]
-        cb = data[C_CB:C_CB + 1, :]
-        cc = data[C_CC:C_CC + 1, :]
-        dmx = ca * gx + cb * gy
-        dmy = cb * gx + cc * gy
-        dca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
-        dcb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
-        dcc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
-        # dop = Σ Gv·dalpha = Σ dpower / op (contributing instances have
-        # op ≥ ALPHA_MIN; zero-channel padding rows give 0/max(0,eps) = 0)
-        dop = s0 / jnp.maximum(op, 1e-9)
-        # d color / d depth: [4, CHUNK] = d_rgbz^T @ w. Manual bf16 2x2
-        # split (4 passes, ~2^-16 relative error from the dropped mid*mid
-        # term) instead of HIGHEST's 6; DEFAULT's single bf16 pass costs
-        # ~4e-3 relative error on color gradients.
-        a_h, a_m = _split2(d_rgbz)
-        w_h, w_m = _split2(w)
-
-        def col_dot(a_bf, b_bf):
-            return jax.lax.dot_general(
-                a_bf, b_bf, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        dcol = col_dot(a_h, w_h) + col_dot(a_h, w_m) + col_dot(a_m, w_h)
+        data_full = chunk_vmem[c % nbuf]
 
         @pl.when(c >= 2)
         def _():
             put_wait(c % 2, c - 2)
 
-        dchunk_vmem[c % 2] = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dop, dcol,
-             jnp.zeros((NCH - 10, kchunk), jnp.float32)],
-            axis=0,
-        )
+        for u in range(nsplit):
+            data = data_full[:, u * ksub:(u + 1) * ksub]
+            q = _chunk_quantities(data, px, py, T, done,
+                                  start - off0 - c * kchunk - u * ksub,
+                                  span - c * kchunk - u * ksub)
+            w, contribute = q["w"], q["contribute"]
+
+            rgbz = data[C_R:C_R + 4, :]        # [4, ksub]
+            # v_{p,i} = c_i . d_rgb_p + z_i * d_z_p    [PIX, ksub]
+            # HIGHEST: the v5e MXU truncates f32 dot operands to bf16 by
+            # default; these two dots feed position/covariance gradients
+            # (~3e-4 relative error measured at default precision)
+            v = jax.lax.dot_general(
+                d_rgbz, rgbz, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_bwd_precision(),
+            )
+            wv = w * v
+            S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+            dalpha = jnp.where(
+                contribute,
+                q["T_run"] * v - (Q - S_incl) / q["om"],
+                0.0,
+            )
+            op = data[C_OP:C_OP + 1, :]
+            dpower = jnp.where(contribute, op * q["Gv"] * dalpha, 0.0)
+
+            # moments Σ_p dpower·{1,x,y,x²,xy,y²} (tile-local coords; see
+            # the `mon` comment above): one MXU contraction, then the six
+            # channel gradients recombine on [1, ksub] vectors. The mon
+            # side is EXACT in bf16 (integer monomials <= 225), so a
+            # manual bf16x3 split of dpower gives the HIGHEST-precision
+            # result in 3 MXU passes instead of 6 (Mosaic rejects
+            # per-operand precision).
+            mon_bf = mon.astype(jnp.bfloat16)
+            dp_h, dp_m, dp_l = _split3(dpower)
+
+            def mon_dot(dp_bf):
+                return jax.lax.dot_general(
+                    mon_bf, dp_bf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            mm = mon_dot(dp_h) + mon_dot(dp_m) + mon_dot(dp_l)  # [8, ksub]
+            s0 = mm[0:1, :]
+            sx, sy = mm[1:2, :], mm[2:3, :]
+            sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
+            mxl = data[C_MX:C_MX + 1, :] - ox  # [1, ksub] local mean
+            myl = data[C_MY:C_MY + 1, :] - oy
+            gx = sx - mxl * s0                 # Σ dpower·dx
+            gy = sy - myl * s0
+            ca = data[C_CA:C_CA + 1, :]
+            cb = data[C_CB:C_CB + 1, :]
+            cc = data[C_CC:C_CC + 1, :]
+            dmx = ca * gx + cb * gy
+            dmy = cb * gx + cc * gy
+            dca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+            dcb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
+            dcc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+            # dop = Σ Gv·dalpha = Σ dpower / op (contributing instances
+            # have op ≥ ALPHA_MIN; zero-channel padding rows: 0/eps = 0)
+            dop = s0 / jnp.maximum(op, 1e-9)
+            # d color / d depth: [4, ksub] = d_rgbz^T @ w. Manual bf16
+            # 2x2 split (4 passes, ~2^-16 relative error from the dropped
+            # mid*mid term) instead of HIGHEST's 6; DEFAULT's single bf16
+            # pass costs ~4e-3 relative error on color gradients.
+            a_h, a_m = _split2(d_rgbz)
+            w_h, w_m = _split2(w)
+
+            def col_dot(a_bf, b_bf):
+                return jax.lax.dot_general(
+                    a_bf, b_bf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            dcol = col_dot(a_h, w_h) + col_dot(a_h, w_m) + col_dot(a_m, w_h)
+
+            dchunk_vmem[c % 2, :, pl.ds(u * ksub, ksub)] = jnp.concatenate(
+                [dmx, dmy, dca, dcb, dcc, dop, dcol,
+                 jnp.zeros((NCH - 10, ksub), jnp.float32)],
+                axis=0,
+            )
+            T, done = q["T_out"], q["done_out"]
+            S = S + jnp.sum(wv, axis=1, keepdims=True)
 
         # merge the PREDECESSOR's gradients into the shared head block
         # (its lanes are zero in our dchunk thanks to the in_seg mask, and
@@ -505,7 +554,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             )
 
         put_start(c % 2, c)
-        return c + 1, q["T_out"], q["done_out"], S + jnp.sum(wv, axis=1, keepdims=True)
+        return c + 1, T, done, S
 
     init = (
         jnp.int32(0),
@@ -911,6 +960,304 @@ def _bwd_kernel_mt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         put_wait((c_fin - 1) % 2, c_fin - 1)
 
 
+# ---------------------------------------------------------------------------
+# Flat-grid pipelined blend kernels (GPT_BLEND_FLAT; round 5).
+#
+# The classic kernels pay ~0.8 us of fixed cost per chunk-iteration: Mosaic
+# cannot software-pipeline across `lax.while_loop` iterations, so every
+# chunk serializes DMA-wait -> compute -> DMA-issue bookkeeping (NOTES.md
+# rounds 3-4; the multi-tile variant proved the cost is per-(tile,chunk)
+# state access, not loop arithmetic). Here the chunk loop is restructured
+# INTO the Pallas grid: one sequential grid step per (tile, chunk) work
+# item, with scalar-prefetched tables driving the BlockSpec index maps.
+# Mosaic's standard pipeline machinery then double-buffers the instance
+# blocks across grid steps — the next chunk's DMA is in flight while the
+# current chunk computes, with none of the manual-DMA/while-loop overhead.
+#
+# Correctness hinges on an ordering invariant of the instance stream: tile
+# segments are ordered and contiguous (tile_end[t] == tile_start[t+1]), so
+# over the flattened work list BOTH the output-tile index (forward) and the
+# instance-block index (backward) are non-decreasing, with revisits only at
+# consecutive steps. That is exactly the revisiting pattern the Pallas TPU
+# pipeline supports (the canonical matmul k-reduction): a block whose index
+# is unchanged from the previous step stays in VMEM and is accumulated
+# in-place; it is written back to HBM only when the index advances. The
+# backward therefore needs NO manual write DMAs and NO read-modify-write of
+# shared boundary blocks — a block shared by two tiles' segments is simply
+# revisited by the successor's first work item and accumulated in VMEM.
+#
+# The early-exit of the classic kernels (skip remaining chunks once every
+# pixel's transmittance latch trips) becomes a cheap VPU skip: the grid
+# still visits each work item (the block DMA is ~20 ns of the ~820 GB/s
+# HBM stream — negligible), but `pl.when` skips the blend math. The
+# per-(tile,chunk) math is _chunk_quantities with the same lane bounds, so
+# outputs are bit-identical to the classic kernels.
+# ---------------------------------------------------------------------------
+def _flat_config():
+    """KCHUNK for the flat kernels when GPT_BLEND_FLAT=1, else None.
+    Read at trace time (env flips switch kernels between jit caches)."""
+    if os.environ.get("GPT_BLEND_FLAT", "0") != "1":
+        return None
+    kx = int(os.environ.get("GPT_KCHUNK_X_FLAT",
+                            os.environ.get("GPT_KCHUNK_X", "2")))
+    return CHUNK * kx
+
+
+def _build_worklist(tile_start, tile_end, kchunk, nblocks):
+    """Flatten per-tile chunk loops into one work list (XLA-side, per frame).
+
+    Work item i covers instance block woff[i] (units of kchunk) for tile
+    wt[i]. Items are emitted tile-major, chunks ascending; tiles with empty
+    segments get no items (their out blocks are back-filled by the caller).
+    Returns (wt, woff, ft, nwork1) all int32, sized to the STATIC bound
+    NW = nblocks + T (#distinct blocks + <=1 boundary revisit per tile);
+    padding items alias the last real (tile, block) so every index stays
+    monotone, and carry zero work via the i >= nwork guard in the kernels.
+    ft[t] = first work-item index of tile t (detects chunk 0 in-kernel).
+    """
+    T = tile_start.shape[0]
+    NW = nblocks + T
+    i32 = jnp.int32
+    seg = tile_end - tile_start
+    base = tile_start // kchunk
+    nch = jnp.where(
+        seg > 0, (tile_end - base * kchunk + kchunk - 1) // kchunk, 0
+    ).astype(i32)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(nch).astype(i32)]
+    )  # [T+1]
+    nwork = cum[T]
+    ii = jnp.arange(NW, dtype=i32)
+    wt0 = jnp.clip(
+        jnp.searchsorted(cum[1:], ii, side="right").astype(i32), 0, T - 1
+    )
+    woff0 = jnp.clip(base[wt0] + (ii - cum[wt0]), 0, nblocks - 1)
+    safe_last = jnp.maximum(nwork - 1, 0)
+    pad = ii >= nwork
+    wt = jnp.where(pad, wt0[safe_last], wt0)
+    woff = jnp.where(pad, woff0[safe_last], woff0)
+    return wt, woff, cum[:T], nwork.reshape(1)
+
+
+_FWD_INIT_ROW = (0.0, 0.0, 0.0, 0.0, 1.0, 0.0, -1.0, 0.0)  # acc,T,wmax,gid,done
+
+
+def _fwd_kernel_flat(wt_ref, woff_ref, ts_ref, te_ref, ft_ref, nw_ref,
+                     inst_ref, out_ref, *, grid_x, kchunk,
+                     with_tidx: bool = True):
+    i = pl.program_id(0)
+    t = wt_ref[i]
+    off = woff_ref[i]
+    s = ts_ref[t]
+    e = te_ref[t]
+    valid = i < nw_ref[0]
+    first = valid & (i == ft_ref[t])
+    base = off * kchunk
+    lo = s - base                       # may be negative past chunk 0 (fine)
+    hi = jnp.where(valid, e - base, 0)  # padding items mask every lane
+    last = valid & (base + kchunk >= e)
+
+    @pl.when(first)
+    def _():
+        out_ref[0] = jnp.concatenate(
+            [jnp.full((PIX, 1), v, jnp.float32) for v in _FWD_INIT_ROW],
+            axis=1,
+        )
+
+    st = out_ref[0]
+    T_in = st[:, O_T:O_T + 1]
+    done_in = st[:, O_PAD:O_PAD + 1]    # latch borrows the pad channel
+    if os.environ.get("GPT_FLAT_NOSKIP", "0") == "1":
+        # skip-check ablation: the cross-lane min costs a per-step VPU
+        # reduction; the blend math is self-masking (contribute handles
+        # done pixels), so correctness is unaffected
+        work = valid
+    else:
+        work = valid & (jnp.min(done_in) < 0.5)
+
+    @pl.when(work)
+    def _():
+        px, py = _pixel_coords(t, grid_x)
+        q = _chunk_quantities(inst_ref[...], px, py, T_in, done_in, lo, hi)
+        data = inst_ref[...]
+        rgbz = data[C_R:C_R + 4, :]
+        w = q["w"]
+        w_h, w_m = _split2(w)
+        c_h, c_m = _split2(rgbz)
+
+        def acc_dot(a_bf, b_bf):
+            return jax.lax.dot_general(
+                a_bf, b_bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = (st[:, O_R:O_R + 4] + acc_dot(w_h, c_h) + acc_dot(w_h, c_m)
+               + acc_dot(w_m, c_h))
+        wmax = st[:, O_WMAX:O_WMAX + 1]
+        bgid = st[:, O_GID:O_GID + 1]
+        if with_tidx:
+            wm_chunk = jnp.max(w, axis=1, keepdims=True)
+            gid = data[C_GID:C_GID + 1, :]
+            sel_gid = jnp.max(
+                jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0), axis=1,
+                keepdims=True,
+            )
+            better = wm_chunk > wmax
+            wmax = jnp.where(better, wm_chunk, wmax)
+            bgid = jnp.where(better, sel_gid, bgid)
+        done_ch = jnp.where(last, jnp.zeros((PIX, 1), jnp.float32),
+                            q["done_out"])
+        out_ref[0] = jnp.concatenate(
+            [acc, q["T_out"], wmax, bgid, done_ch], axis=1
+        )
+
+    # early-exited tile: still clear the borrowed done channel at its end
+    @pl.when(last & jnp.logical_not(work))
+    def _():
+        out_ref[0, :, O_PAD:O_PAD + 1] = jnp.zeros((PIX, 1), jnp.float32)
+
+
+def _bwd_kernel_flat(wt_ref, woff_ref, ts_ref, te_ref, ft_ref, nw_ref,
+                     inst_ref, dpix_ref, _dinit_ref, dout_ref, state_ref,
+                     *, grid_x, kchunk):
+    i = pl.program_id(0)
+    t = wt_ref[i]
+    off = woff_ref[i]
+    s = ts_ref[t]
+    e = te_ref[t]
+    valid = i < nw_ref[0]
+    first = valid & (i == ft_ref[t])
+    base = off * kchunk
+    lo = s - base
+    hi = jnp.where(valid, e - base, 0)
+    prev_off = woff_ref[jnp.maximum(i - 1, 0)]
+    newblk = (i == 0) | (off != prev_off)
+
+    @pl.when(first)
+    def _():
+        state_ref[...] = jnp.concatenate(
+            [jnp.ones((PIX, 1), jnp.float32),
+             jnp.zeros((PIX, 7), jnp.float32)], axis=1
+        )  # ch0 T, ch1 done, ch2 S (running inclusive wv prefix)
+
+    st = state_ref[...]
+    T_in = st[:, 0:1]
+    done_in = st[:, 1:2]
+    S = st[:, 2:3]
+    if os.environ.get("GPT_FLAT_NOSKIP", "0") == "1":
+        work = valid
+    else:
+        work = valid & (jnp.min(done_in) < 0.5)
+
+    # a new output block must be written even when the tile is done/padding
+    @pl.when(newblk & jnp.logical_not(work))
+    def _():
+        dout_ref[...] = jnp.zeros((NCH, kchunk), jnp.float32)
+
+    @pl.when(work)
+    def _():
+        px, py = _pixel_coords(t, grid_x)
+        data = inst_ref[...]
+        q = _chunk_quantities(data, px, py, T_in, done_in, lo, hi)
+        w, contribute = q["w"], q["contribute"]
+        dpix = dpix_ref[0]
+        d_rgbz = dpix[:, D_R:D_R + 4]
+        Q = dpix[:, D_Q:D_Q + 1]
+        rgbz = data[C_R:C_R + 4, :]
+        v = jax.lax.dot_general(
+            d_rgbz, rgbz, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_bwd_precision(),
+        )
+        wv = w * v
+        S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+        dalpha = jnp.where(
+            contribute, q["T_run"] * v - (Q - S_incl) / q["om"], 0.0
+        )
+        op = data[C_OP:C_OP + 1, :]
+        dpower = jnp.where(contribute, op * q["Gv"] * dalpha, 0.0)
+        lin_r = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+        pxr = (lin_r % 16).astype(jnp.float32)
+        pyr = (lin_r // 16).astype(jnp.float32)
+        mon_bf = jnp.concatenate(
+            [jnp.ones((1, PIX), jnp.float32), pxr, pyr, pxr * pxr,
+             pxr * pyr, pyr * pyr, jnp.zeros((2, PIX), jnp.float32)],
+            axis=0,
+        ).astype(jnp.bfloat16)
+        dp_h, dp_m, dp_l = _split3(dpower)
+
+        def mon_dot(dp_bf):
+            return jax.lax.dot_general(
+                mon_bf, dp_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        mm = mon_dot(dp_h) + mon_dot(dp_m) + mon_dot(dp_l)
+        s0 = mm[0:1, :]
+        sx, sy = mm[1:2, :], mm[2:3, :]
+        sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
+        tile_y = t // grid_x
+        tile_x = t - tile_y * grid_x
+        ox = (tile_x * 16).astype(jnp.float32)
+        oy = (tile_y * 16).astype(jnp.float32)
+        mxl = data[C_MX:C_MX + 1, :] - ox
+        myl = data[C_MY:C_MY + 1, :] - oy
+        gx = sx - mxl * s0
+        gy = sy - myl * s0
+        ca = data[C_CA:C_CA + 1, :]
+        cb = data[C_CB:C_CB + 1, :]
+        cc = data[C_CC:C_CC + 1, :]
+        dmx = ca * gx + cb * gy
+        dmy = cb * gx + cc * gy
+        dca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+        dcb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
+        dcc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+        dop = s0 / jnp.maximum(op, 1e-9)
+        a_h, a_m = _split2(d_rgbz)
+        w_h, w_m = _split2(w)
+
+        def col_dot(a_bf, b_bf):
+            return jax.lax.dot_general(
+                a_bf, b_bf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dcol = col_dot(a_h, w_h) + col_dot(a_h, w_m) + col_dot(a_m, w_h)
+        contrib = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcol,
+             jnp.zeros((NCH - 10, kchunk), jnp.float32)],
+            axis=0,
+        )
+
+        @pl.when(newblk)
+        def _():
+            dout_ref[...] = contrib
+
+        @pl.when(jnp.logical_not(newblk))
+        def _():
+            dout_ref[...] = dout_ref[...] + contrib
+
+        state_ref[...] = jnp.concatenate(
+            [q["T_out"], q["done_out"],
+             S + jnp.sum(wv, axis=1, keepdims=True),
+             jnp.zeros((PIX, 5), jnp.float32)], axis=1
+        )
+
+
+def _flat_prep(instT, tile_start, tile_end, kchunk):
+    """Pad capacity to a block multiple and build the flat work list."""
+    Pp = instT.shape[1]
+    Ppad = ((Pp + kchunk - 1) // kchunk) * kchunk
+    if Ppad != Pp:
+        instT = jnp.concatenate(
+            [instT, jnp.zeros((instT.shape[0], Ppad - Pp), instT.dtype)],
+            axis=1,
+        )
+    nblocks = Ppad // kchunk
+    wt, woff, ft, nw = _build_worklist(tile_start, tile_end, kchunk, nblocks)
+    return instT, wt, woff, ft, nw, nblocks + tile_start.shape[0]
+
+
 def _pad_tiles(tile_start, tile_end, tpb):
     """Pad the per-tile segment arrays to a multiple of tpb with EMPTY
     segments pinned at the last real end (so padded programs see
@@ -949,6 +1296,39 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
     if interpret is None:
         interpret = _interpret_default()
     num_tiles = grid_x * grid_y
+    flat = _flat_config()
+    if flat is not None:
+        kchunk = flat
+        instT, wt, woff, ft, nw, NW = _flat_prep(
+            instT, tile_start, tile_end, kchunk
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(NW,),
+            in_specs=[pl.BlockSpec(
+                (NCH, kchunk),
+                lambda i, wt, woff, ts, te, ft, nw: (0, woff[i]),
+                memory_space=pltpu.VMEM,
+            )],
+            out_specs=pl.BlockSpec(
+                (1, PIX, 8),
+                lambda i, wt, woff, ts, te, ft, nw: (wt[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_flat, grid_x=grid_x,
+                              kchunk=kchunk, with_tidx=with_tidx),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(wt, woff, tile_start, tile_end, ft, nw, instT)
+        # empty tiles get no work items; back-fill their init rows
+        empty = (tile_end - tile_start) <= 0
+        return jnp.where(
+            empty[:, None, None],
+            jnp.asarray(_FWD_INIT_ROW, jnp.float32), out,
+        )
     mt = _mt_config()
     if mt is not None:
         tpb, kchunk = mt
@@ -1021,6 +1401,49 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
     dpix = jnp.concatenate(
         [d_rgbz, Q, jnp.zeros((num_tiles, PIX, 3), jnp.float32)], axis=2
     )
+
+    flat = _flat_config()
+    if flat is not None:
+        kchunk = flat
+        instT, wt, woff, ft, nw, NW = _flat_prep(
+            instT0, tile_start, tile_end, kchunk
+        )
+        dinst_init = jnp.zeros_like(instT)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(NW,),
+            in_specs=[
+                pl.BlockSpec(
+                    (NCH, kchunk),
+                    lambda i, wt, woff, ts, te, ft, nw: (0, woff[i]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, PIX, 8),
+                    lambda i, wt, woff, ts, te, ft, nw: (wt[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # aliased init, unused
+            ],
+            out_specs=pl.BlockSpec(
+                (NCH, kchunk),
+                lambda i, wt, woff, ts, te, ft, nw: (0, woff[i]),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((PIX, 8), jnp.float32),   # per-tile (T, done, S)
+            ],
+        )
+        dinstT = pl.pallas_call(
+            functools.partial(_bwd_kernel_flat, grid_x=grid_x,
+                              kchunk=kchunk),
+            out_shape=jax.ShapeDtypeStruct(instT.shape, jnp.float32),
+            grid_spec=grid_spec,
+            input_output_aliases={8: 0},  # dinst_init (after 6 scalars)
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(wt, woff, tile_start, tile_end, ft, nw, instT, dpix, dinst_init)
+        return (dinstT[:, :instT0.shape[1]], None, None)
 
     mt = _mt_config()
     if mt is not None:

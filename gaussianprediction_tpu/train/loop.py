@@ -121,6 +121,14 @@ def distill_weight_init(state: G.GaussianState, cfg: Config,
         def encode(wp):
             return enc_const
         wparams0 = {"weight_mlp": p["weight_mlp"]}
+    elif m.weight_encoder == "brick":
+        def encode(wp):
+            return hashgrid.brickgrid_encode_fast(
+                wp["hash_tables"], xyz, m.hash_bound, m.hash_min_res,
+                m.hash_max_res,
+            )
+        wparams0 = {"weight_mlp": p["weight_mlp"],
+                    "hash_tables": p["hash_tables"]}
     else:
         def encode(wp):
             return hashgrid.hashgrid_encode_fast(

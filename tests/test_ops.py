@@ -207,6 +207,77 @@ class TestHashGrid:
         f1 = fourier_enc.fourier_encode(B, xyz + 1e-6)
         assert float(jnp.abs(f1 - f).max()) < 1e-3
 
+    def test_brick_encoder_matches_naive(self):
+        """brickgrid_encode_fast fwd == a naive 8-corner reimplementation
+        of the same brick-table function; table grads == jax AD of the
+        naive form; xyz grads are zero by contract."""
+        key = jax.random.PRNGKey(11)
+        tables = hashgrid.init_brickgrid(key, n_levels=4, n_features=2,
+                                         log2_Tb=7, n_min=4, max_res=32)
+        xyz = jnp.asarray(rnd(151, 3, seed=29) * 1.5)
+        specs, _ = hashgrid.brick_specs(tables, 4, 32)
+        F = 2
+        B = hashgrid.BRICK
+
+        def naive(t):
+            flat = jnp.concatenate(
+                [t[f"level_{l}"] for l in range(4)], axis=0
+            ).reshape(-1, B, B, B, F)
+            bidx, a, f = hashgrid._brick_geom(xyz, specs, 1.6)
+            outs = []
+            for l in range(4):
+                feat = 0.0
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            w = (
+                                jnp.where(dx == 1, f[l, :, 0],
+                                          1 - f[l, :, 0])
+                                * jnp.where(dy == 1, f[l, :, 1],
+                                            1 - f[l, :, 1])
+                                * jnp.where(dz == 1, f[l, :, 2],
+                                            1 - f[l, :, 2])
+                            )
+                            cell = flat[
+                                bidx[l], a[l, :, 0] + dx,
+                                a[l, :, 1] + dy, a[l, :, 2] + dz]
+                            feat = feat + w[:, None] * cell
+                outs.append(feat)
+            return jnp.concatenate(outs, axis=-1)
+
+        e0 = naive(tables)
+        e1 = hashgrid.brickgrid_encode_fast(tables, xyz, 1.6, 4, 32)
+        np.testing.assert_allclose(np.asarray(e0), np.asarray(e1),
+                                   atol=1e-6)
+
+        cot = jnp.asarray(rnd(151, 8, seed=31))
+        g_ref = jax.grad(lambda t: jnp.sum(naive(t) * cot))(tables)
+        g_fast, g_xyz = jax.grad(
+            lambda t, x: jnp.sum(
+                hashgrid.brickgrid_encode_fast(t, x, 1.6, 4, 32) * cot
+            ),
+            argnums=(0, 1),
+        )(tables, xyz)
+        for k in tables:
+            np.testing.assert_allclose(
+                np.asarray(g_ref[k]), np.asarray(g_fast[k]), atol=1e-5,
+                err_msg=k,
+            )
+        assert float(jnp.abs(g_xyz).max()) == 0.0
+
+    def test_brick_encoder_continuity_and_boundary(self):
+        key = jax.random.PRNGKey(13)
+        tables = hashgrid.init_brickgrid(key, n_levels=4, n_features=2,
+                                         log2_Tb=8, n_min=4, max_res=32)
+        xyz = jnp.asarray(rnd(64, 3, seed=37) * 1.55)
+        e0 = hashgrid.brickgrid_encode_fast(tables, xyz, 1.6, 4, 32)
+        e1 = hashgrid.brickgrid_encode_fast(tables, xyz + 1e-6, 1.6, 4, 32)
+        assert float(jnp.abs(e1 - e0).max()) < 1e-3
+        edge = jnp.asarray([[1.6, 1.6, 1.6], [-1.6, -1.6, -1.6],
+                            [2.0, 0.0, -2.0]], jnp.float32)
+        ee = hashgrid.brickgrid_encode_fast(tables, edge, 1.6, 4, 32)
+        assert np.all(np.isfinite(np.asarray(ee)))
+
     def test_interpolation_continuity(self):
         # moving a point slightly moves features slightly (trilinear)
         key = jax.random.PRNGKey(4)
