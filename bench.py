@@ -165,6 +165,30 @@ def main():
     dt = (time.time() - t0) / (iters * REPS)
     rays_per_s = W * H / dt
 
+    # render-only (fwd, no grad) throughput — the reference reports eval
+    # FPS around bare renders (/root/reference/eval.py:210-215,222-224)
+    def chained_fwd(xyz, scal, rot, op, shs):
+        def body(i, carry):
+            op_c, acc = carry
+            out = R.render(
+                xyz, scal, rot, op_c, shs, cam, W, H, jnp.zeros(3),
+                sh_degree=3, capacity_multiplier=mult, interpret=interpret,
+                need_tidx=False,
+            )
+            l = jnp.mean(out["render"])
+            return op_c + 1e-38 * l, acc + l
+
+        _, acc = jax.lax.fori_loop(0, REPS, body, (op, jnp.float32(0.0)))
+        return acc
+
+    fwd_fn = jax.jit(chained_fwd)
+    _ = float(fwd_fn(xyz, scal, rot, op, shs))
+    t0 = time.time()
+    for _ in range(iters):
+        _ = float(fwd_fn(xyz, scal, rot, op, shs))
+    dt_fwd = (time.time() - t0) / (iters * REPS)
+    fwd_rays_per_s = W * H / dt_fwd
+
     result = {
         "metric": "rasterize_fwd_bwd_rays_per_s",
         "value": round(rays_per_s, 1),
@@ -173,6 +197,9 @@ def main():
         "detail": {
             "width": W, "height": H, "n_gaussians": N,
             "ms_per_iter": round(dt * 1000, 2),
+            "fwd_only_rays_per_s": round(fwd_rays_per_s, 1),
+            "fwd_only_ms": round(dt_fwd * 1000, 2),
+            "fwd_only_fps": round(1.0 / dt_fwd, 2),
             "n_dropped": n_dropped,
             "capacity_multiplier": mult,
             "n_instances": n_instances,

@@ -80,6 +80,62 @@ def _cummax(x):
     return x
 
 
+def _ellipse_cull_on() -> bool:
+    """GPT_ELLIPSE_CULL=1 drops (instance, tile) pairs that can NEVER
+    contribute (round 5): the blend kernel skips any instance whose alpha
+    at a pixel is < 1/255 (ALPHA_MIN), so an instance whose MAXIMUM alpha
+    over its tile's pixel box is < 1/255 is dead weight — it still costs
+    blend lanes and chunk iterations. Rect binning keeps such pairs
+    because a tile in the rect's corner can lie entirely outside the
+    ellipse support. The test is CONSERVATIVE (continuous-box maximum
+    >= pixel-grid maximum, plus a margin dwarfing f32 rounding), so
+    culling is result-exact: bit-identical renders and gradients.
+    Read at trace time."""
+    return os.environ.get("GPT_ELLIPSE_CULL", "1") == "1"
+
+
+def _cull_weak_key(inst_soa, key, grid_x: int, sentinel):
+    """Re-key never-contributing instances to the sentinel tile.
+
+    Qmin = min over the tile's continuous pixel box of the exponent
+    quadratic Q(d) = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2 (alpha =
+    op*exp(-Q)); keep iff op*exp(-Qmin) could reach ALPHA_MIN. For the
+    PSD conic the box-min is 0 when the mean lies inside, else it lies on
+    one of the four edges, each a closed-form 1-D quadratic min."""
+    mx, my = inst_soa[0], inst_soa[1]
+    ca, cb, cc = inst_soa[2], inst_soa[3], inst_soa[4]
+    op = inst_soa[5]
+    tile = key
+    ty = tile // grid_x
+    tx = tile - ty * grid_x
+    u0 = tx.astype(jnp.float32) * TILE - mx          # dx range [u0, u1]
+    u1 = u0 + (TILE - 1)
+    v0 = ty.astype(jnp.float32) * TILE - my
+    v1 = v0 + (TILE - 1)
+    inside = (u0 <= 0) & (u1 >= 0) & (v0 <= 0) & (v1 >= 0)
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+
+    def edge_x(X):
+        dy = jnp.clip(-cb * X / cc_s, v0, v1)
+        return 0.5 * cc * dy * dy + cb * X * dy + 0.5 * ca * X * X
+
+    def edge_y(Y):
+        dx = jnp.clip(-cb * Y / ca_s, u0, u1)
+        return 0.5 * ca * dx * dx + cb * Y * dx + 0.5 * cc * Y * Y
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(u0), edge_x(u1)),
+        jnp.minimum(edge_y(v0), edge_y(v1)),
+    )
+    qmin = jnp.where(inside, 0.0, qmin)
+    # keep iff op*exp(-qmin) >= ALPHA_MIN, in log domain with a margin
+    # (1e-3 in the exponent ~ 0.1% alpha) dwarfing f32 rounding skew
+    thresh = jnp.log(jnp.maximum(op, 1e-12) * 255.0) + 1e-3
+    keep = (key < sentinel) & (qmin <= thresh)
+    return jnp.where(keep, key, sentinel)
+
+
 class InstanceStream(NamedTuple):
     inst: jnp.ndarray        # [16, P'] packed sorted instance SoA
     tile_start: jnp.ndarray  # [T]
@@ -231,6 +287,9 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
         raw, jnp.minimum(total1, capacity), grid_x, int(num_tiles)
     )  # tuple: feat0..9, gid, key_f32
     key = inst_soa[11].astype(jnp.int32)
+    cull = _ellipse_cull_on()
+    if cull:
+        key = _cull_weak_key(inst_soa, key, grid_x, sentinel)
 
     # 4. per-tile counts via ONE MXU contraction (round 3; replaces the
     # sort-based corner-difference histogram, 6.6 ms -> ~0.3 ms): each
@@ -239,20 +298,26 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     # with row/col the 0/1 tile-interval indicators — i.e. counts = Rᵀ @ C
     # for R [N, gy], C [N, gx]. The indicators are exact in bf16 and the
     # MXU accumulates in f32, which is exact for integer sums < 2^24.
-    tyv = jnp.arange(grid_y, dtype=jnp.int32)[None, :]
-    txv = jnp.arange(grid_x, dtype=jnp.int32)[None, :]
-    live = ((rw > 0) & (rh > 0))[:, None]
-    Rind = (
-        (y0c[:, None] <= tyv) & (tyv < (y0c + rh)[:, None]) & live
-    ).astype(jnp.bfloat16)                          # [N, gy]
-    Cind = (
-        (x0c[:, None] <= txv) & (txv < (x0c + rw)[:, None])
-    ).astype(jnp.bfloat16)                          # [N, gx]
-    grid = jax.lax.dot_general(
-        Rind, Cind, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                               # [gy, gx]
-    counts_t = grid.astype(jnp.int32).reshape(-1)   # [T]
+    if not cull:
+        tyv = jnp.arange(grid_y, dtype=jnp.int32)[None, :]
+        txv = jnp.arange(grid_x, dtype=jnp.int32)[None, :]
+        live = ((rw > 0) & (rh > 0))[:, None]
+        Rind = (
+            (y0c[:, None] <= tyv) & (tyv < (y0c + rh)[:, None]) & live
+        ).astype(jnp.bfloat16)                          # [N, gy]
+        Cind = (
+            (x0c[:, None] <= txv) & (txv < (x0c + rw)[:, None])
+        ).astype(jnp.bfloat16)                          # [N, gx]
+        grid = jax.lax.dot_general(
+            Rind, Cind, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [gy, gx]
+        counts_t = grid.astype(jnp.int32).reshape(-1)   # [T]
+    else:
+        # culled keys break the separable-rect invariant the MXU
+        # histogram needs; segment bounds come from a searchsorted over
+        # the sorted keys instead (T*log(Pp) — cheaper than the matmul)
+        counts_t = None
 
     # 5. (round 3) NO alignment dummies: the blend kernels accept UNALIGNED
     # segments (rasterize_pallas streams CHUNK-aligned windows and
@@ -262,7 +327,6 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     # through the 12-operand sort, and the [T, CHUNK] dummy build + its
     # concatenations disappear. Only the interleave kernel's lane-block
     # alignment still pads (< ILV_BLK sentinel-keyed rows).
-    pstart = (jnp.cumsum(counts_t) - counts_t).astype(jnp.int32)
     ILV = expand_pallas.ILV_BLK
     Pp = ((cap512 + ILV - 1) // ILV) * ILV
     pad_extra = Pp - cap512
@@ -290,8 +354,20 @@ def build_instances_fwd(feat, depth, tiles_min, tiles_max, visible,
     )
     # [16, Pp] SoA — the orientation the Pallas kernels DMA directly
 
-    tile_start = jnp.minimum(pstart, Pp)
-    tile_end = jnp.minimum(pstart + counts_t, Pp)
+    if cull:
+        # boundaries from the sorted keys: bounds[t] = first slot with
+        # key >= t; segments stay ordered AND contiguous (end[t] ==
+        # start[t+1]), which the blend kernels' shared-block handling
+        # assumes; culled/sentinel slots sit past every segment
+        bounds = jnp.searchsorted(
+            s[0], jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        tile_start = jnp.minimum(bounds[:-1], Pp)
+        tile_end = jnp.minimum(bounds[1:], Pp)
+    else:
+        pstart = (jnp.cumsum(counts_t) - counts_t).astype(jnp.int32)
+        tile_start = jnp.minimum(pstart, Pp)
+        tile_end = jnp.minimum(pstart + counts_t, Pp)
 
     area_full = jnp.where(
         visible,
