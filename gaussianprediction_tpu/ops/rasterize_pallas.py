@@ -161,7 +161,19 @@ def _inclusive_scan(x, op, identity):
     return y
 
 
-def _chunk_quantities(data, px, py, T_in, done_in, lo, hi):
+def _mxupow_config() -> bool:
+    """GPT_BLEND_MXUPOW=1 computes the exponent quadratic through the MXU
+    (round 5): power[p,i] = mon(p) . coef(i) with mon = [1,x,y,x²,xy,y²]
+    over TILE-LOCAL pixel coords (integers <= 225 — exact in bf16) and a
+    bf16x3 split of the per-instance coefficients (24 mantissa bits).
+    Replaces ~8 VPU ops on [PIX, K] (dx, dy, and the quadratic) with 3
+    MXU passes; the kernels were measured VPU-bound (exp_blendiso r5).
+    Absolute power error ~3e-5 from f32 accumulation of +-5e2 terms vs
+    ~1e-6 for the direct form — validated against the oracle."""
+    return os.environ.get("GPT_BLEND_MXUPOW", "0") == "1"
+
+
+def _chunk_quantities(data, px, py, T_in, done_in, lo, hi, origin=None):
     """Shared fwd/bwd per-chunk math.
 
     data: [NCH, KCHUNK] packed instances; lo/hi: [] int32 lane bounds of
@@ -197,9 +209,41 @@ def _chunk_quantities(data, px, py, T_in, done_in, lo, hi):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, data.shape[1]), 1)
     in_seg = (lane >= lo) & (lane < hi)  # [1, KCHUNK]
 
-    dx = px - mx                       # [PIX, CHUNK]
-    dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    if origin is not None and _mxupow_config():
+        # MXU monomial path (see _mxupow_config): tile-local coords keep
+        # the monomials exact in bf16 and the coefficient magnitudes
+        # bounded (~5e2) so f32 accumulation stays ~3e-5 absolute
+        ox, oy = origin
+        xl = px - ox                   # [PIX, 1] local, 0..15
+        yl = py - oy
+        mon = jnp.concatenate(
+            [jnp.ones_like(xl), xl, yl, xl * xl, xl * yl, yl * yl,
+             jnp.zeros((xl.shape[0], 2), jnp.float32)], axis=1
+        ).astype(jnp.bfloat16)         # [PIX, 8] exact
+        mxl = mx - ox                  # [1, CHUNK]
+        myl = my - oy
+        coef = jnp.concatenate(
+            [-(0.5 * ca * mxl * mxl + cb * mxl * myl
+               + 0.5 * cc * myl * myl),
+             ca * mxl + cb * myl,
+             cc * myl + cb * mxl,
+             -0.5 * ca, -cb, -0.5 * cc,
+             jnp.zeros((2, data.shape[1]), jnp.float32)], axis=0
+        )                              # [8, CHUNK]
+        co_h, co_m, co_l = _split3(coef)
+
+        def pow_dot(co_bf):
+            return jax.lax.dot_general(
+                mon, co_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        power = pow_dot(co_h) + pow_dot(co_m) + pow_dot(co_l)
+        dx = dy = None
+    else:
+        dx = px - mx                   # [PIX, CHUNK]
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     Gv = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_CLAMP, op * Gv)
     valid = (vch > 0.5) & in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
@@ -248,6 +292,9 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
     span = end - off0
     nchunks = jnp.where(seg > 0, pl.cdiv(span, KCHUNK), 0)
     px, py = _pixel_coords(t, grid_x)
+    f_tile_y = t // grid_x
+    forig = ((t - f_tile_y * grid_x).astype(jnp.float32) * 16.0,
+             f_tile_y.astype(jnp.float32) * 16.0)
 
     def get_dma(slot, c):
         off = pl.multiple_of(off0 + c * KCHUNK, CHUNK)
@@ -289,7 +336,8 @@ def _fwd_kernel(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems,
             data = data_full[:, u * ksub:(u + 1) * ksub]
             q = _chunk_quantities(data, px, py, T, done,
                                   start - off0 - c * KCHUNK - u * ksub,
-                                  span - c * KCHUNK - u * ksub)
+                                  span - c * KCHUNK - u * ksub,
+                                  origin=forig)
             rgbz = data[C_R:C_R + 4, :]        # [4, ksub]
             w = q["w"]                          # [PIX, ksub]
             # color accumulation at bf16 2x2 split precision: the v5e MXU
@@ -459,7 +507,8 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             data = data_full[:, u * ksub:(u + 1) * ksub]
             q = _chunk_quantities(data, px, py, T, done,
                                   start - off0 - c * kchunk - u * ksub,
-                                  span - c * kchunk - u * ksub)
+                                  span - c * kchunk - u * ksub,
+                                  origin=(ox, oy))
             w, contribute = q["w"], q["contribute"]
 
             rgbz = data[C_R:C_R + 4, :]        # [4, ksub]
