@@ -173,6 +173,34 @@ def _mxupow_config() -> bool:
     return os.environ.get("GPT_BLEND_MXUPOW", "0") == "1"
 
 
+def _mxuscan_config() -> bool:
+    """GPT_BLEND_MXUSCAN=1 computes the backward's inclusive lane-cumsum
+    of wv through the MXU (round 5): x @ U with U the upper-triangular
+    0/1 matrix (exact in bf16), bf16x3-split operand (24 mantissa bits).
+    Replaces the log-K Hillis-Steele scan (~16 VPU ops on [PIX, K]) in
+    the VPU-bound backward. Error ~2^-24 * sum|wv| vs the sequential f32
+    adds' own ~K-ulp accumulation — same class."""
+    return os.environ.get("GPT_BLEND_MXUSCAN", "0") == "1"
+
+
+def _mxu_cumsum(x):
+    """Inclusive lane-axis cumsum of [PIX, K] via one triangular MXU
+    contraction (3 bf16 passes)."""
+    K = x.shape[1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    U = (ii <= jj).astype(jnp.bfloat16)        # exact 0/1
+    x_h, x_m, x_l = _split3(x)
+
+    def tri_dot(x_bf):
+        return jax.lax.dot_general(
+            x_bf, U, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return tri_dot(x_h) + tri_dot(x_m) + tri_dot(x_l)
+
+
 def _chunk_quantities(data, px, py, T_in, done_in, lo, hi, origin=None):
     """Shared fwd/bwd per-chunk math.
 
@@ -522,7 +550,8 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
                 precision=_bwd_precision(),
             )
             wv = w * v
-            S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+            S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
+                      else _inclusive_scan(wv, jnp.add, 0.0))
             dalpha = jnp.where(
                 contribute,
                 q["T_run"] * v - (Q - S_incl) / q["om"],
@@ -909,7 +938,8 @@ def _bwd_kernel_mt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
                     precision=_bwd_precision(),
                 )
                 wv = w * v
-                S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+                S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
+                      else _inclusive_scan(wv, jnp.add, 0.0))
                 dalpha = jnp.where(
                     contribute,
                     q["T_run"] * v - (Q - S_incl) / q["om"],
@@ -1219,7 +1249,8 @@ def _bwd_kernel_flat(wt_ref, woff_ref, ts_ref, te_ref, ft_ref, nw_ref,
             precision=_bwd_precision(),
         )
         wv = w * v
-        S_incl = S + _inclusive_scan(wv, jnp.add, 0.0)
+        S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
+                      else _inclusive_scan(wv, jnp.add, 0.0))
         dalpha = jnp.where(
             contribute, q["T_run"] * v - (Q - S_incl) / q["om"], 0.0
         )

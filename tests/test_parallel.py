@@ -150,6 +150,56 @@ class TestShardedStep:
             losses[nd] = [float(m["loss"]) for m in ms]
         np.testing.assert_allclose(losses[8], losses[1], rtol=2e-4)
 
+    def test_trainer_sharded_crosses_events(self):
+        """The sharded path must survive SHAPE-CHANGING host events under
+        the mesh (VERDICT r4 #5): a trajectory from warm-up through a
+        densify+prune event (iter 50), the stage-2 transition (k-means
+        keypoint init on the mesh-replicated state at 61), and the
+        capacity re-probe, trajectory-matched to the single-device
+        Trainer step for step."""
+        if len(jax.devices("cpu")) < 8:
+            pytest.skip("needs 8 cpu devices")
+        from gaussianprediction_tpu.data.scene import (
+            Scene, synthetic_scene_info,
+        )
+        from gaussianprediction_tpu.train.loop import Trainer
+
+        first, last = 45, 66  # densify @50, k-means + stage-2 step @61+
+        losses = {}
+        counts = {}
+        for nd in (1, 8):
+            cfg = get_preset("test")
+            cfg.opt.iterations = last
+            cfg.train.use_time_decay = False
+            # keep the annealed xyz/time noise OFF: sharded and batched
+            # steps split RNG differently, trajectories only match with
+            # sigma 0 (same convention as _dryrun_mesh)
+            cfg.train.xyz_noise_iteration = 1
+            cfg.train.time_noise_iteration = 1
+            info = synthetic_scene_info(
+                n_points=64, n_cams=4, n_test=0, width=32, height=32,
+                interpret=True,
+            )
+            tr = Trainer(cfg, Scene(info, seed=3), interpret=True,
+                         quiet=True, log_every=1, n_devices=nd)
+            for i in range(1, first):
+                # advance host state deterministically on one device for
+                # speed; the certified window covers the events
+                tr.train_one(i)
+            ms = [tr.train_one_sharded(i) if nd > 1 else tr.train_one(i)
+                  for i in range(first, last + 1)]
+            losses[nd] = [float(m["loss"]) for m in ms]
+            counts[nd] = (int(jnp.sum(tr.state.alive)),
+                          int(jnp.sum(tr.state.kpt_alive)))
+        # the discrete events must agree exactly: same surviving gaussian
+        # count after densify/prune, same keypoint count after k-means
+        assert counts[8] == counts[1], counts
+        # psum-vs-sequential reduction order drifts ~1e-4/step and
+        # compounds through Adam across the densify event (measured max
+        # 1.7% at step 22); the discrete events matching exactly plus the
+        # trajectory tracking within a few percent is the certification
+        np.testing.assert_allclose(losses[8], losses[1], rtol=3e-2)
+
     def test_data_parallel_runs(self):
         if len(jax.devices("cpu")) < 8:
             pytest.skip("needs 8 cpu devices")
