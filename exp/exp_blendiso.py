@@ -156,9 +156,77 @@ def main():
         )(wt, woff, ts, te, ft, nw, instp)
         return jnp.sum(out[:, 0, 0])
 
+    def null_classic(x, do_dma: bool):
+        """Per-program floor of the classic kernel shape: same grid /
+        scalar-prefetch / out spec; body writes init and (optionally)
+        streams its chunks double-buffered with no compute."""
+        instp = RP._pad_inst_T(x)
+
+        def kern(start_ref, end_ref, inst_ref, out_ref, chunk_vmem, sems):
+            t = pl.program_id(0)
+            start = start_ref[t]
+            end = end_ref[t]
+            off0 = (start // RP.CHUNK) * RP.CHUNK
+            span = end - off0
+            nchunks = jnp.where(end > start, pl.cdiv(span, RP.KCHUNK), 0)
+
+            def get_dma(slot, c):
+                off = pl.multiple_of(off0 + c * RP.KCHUNK, RP.CHUNK)
+                return pltpu.make_async_copy(
+                    inst_ref.at[:, pl.ds(off, RP.KCHUNK)],
+                    chunk_vmem.at[slot], sems.at[slot])
+
+            acc = jnp.zeros((8, 128), jnp.float32)
+            if do_dma:
+                @pl.when(0 < nchunks)
+                def _():
+                    get_dma(0, 0).start()
+
+                def body(state):
+                    c, acc = state
+
+                    @pl.when(c + 1 < nchunks)
+                    def _():
+                        get_dma((c + 1) % 2, c + 1).start()
+
+                    get_dma(c % 2, c).wait()
+                    acc = acc + chunk_vmem[c % 2][0:8, 0:128]
+                    return c + 1, acc
+
+                _, acc = jax.lax.while_loop(
+                    lambda s: s[0] < nchunks, body,
+                    (jnp.int32(0), acc))
+            out_ref[0] = jnp.zeros((RP.PIX, 8), jnp.float32)
+            out_ref[0, 0:8, :] = acc[:, 0:8] + jnp.float32(start)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid_x * grid_y,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, RP.PIX, 8), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, RP.NCH, RP.KCHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid_x * grid_y, RP.PIX, 8), jnp.float32),
+            grid_spec=grid_spec,
+        )(ts, te, instp)
+        return jnp.sum(out[:, 0, 0])
+
     for spec in args.configs.split(","):
         os.environ.pop("GPT_BLEND_FLAT", None)
         os.environ.pop("GPT_FLAT_NOSKIP", None)
+        if spec in ("nullc", "dmac"):
+            timed(f"{spec}      ", chain(
+                functools.partial(null_classic, do_dma=spec == "dmac")),
+                instT)
+            continue
         if spec == "classic":
             pass
         elif spec.startswith("null:"):

@@ -656,6 +656,326 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
         put_wait((c_fin - 1) % 2, c_fin - 1)
 
 
+def _bwd_kernel_smt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
+                    dinst_ref, chunk_vmem, dchunk_vmem, old_vmem, sems,
+                    wsems, rmw_sem, *, grid_x, tpb, kchunk=KCHUNK_BWD,
+                    nbuf: int = 2):
+    p = pl.program_id(0)
+    noexit = _noexit_config()
+    nsplit = _split_config()
+    ksub = kchunk // nsplit
+    NH = kchunk // CHUNK
+    lin_r = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pxr = (lin_r % 16).astype(jnp.float32)
+    pyr = (lin_r // 16).astype(jnp.float32)
+    mon = jnp.concatenate(
+        [jnp.ones((1, PIX), jnp.float32), pxr, pyr, pxr * pxr, pxr * pyr,
+         pyr * pyr, jnp.zeros((2, PIX), jnp.float32)],
+        axis=0,
+    )
+    for j in range(tpb):
+        t = p * tpb + j
+        start = start_ref[t]
+        end = end_ref[t]
+        off0 = (start // CHUNK) * CHUNK
+        seg = end - start
+        span = end - off0
+        nchunks = jnp.where(seg > 0, pl.cdiv(span, kchunk), 0)
+        need_rmw = (start > off0) & (nchunks > 0)
+        px, py = _pixel_coords(t, grid_x)
+
+        @pl.when(need_rmw)
+        def _(off0=off0):
+            pltpu.make_async_copy(
+                dinst_ref.at[:, pl.ds(pl.multiple_of(off0, CHUNK), CHUNK)],
+                old_vmem, rmw_sem,
+            ).start()
+
+        dpix = dpix_ref[j]
+        d_rgbz = dpix[:, D_R:D_R + 4]
+        Q = dpix[:, D_Q:D_Q + 1]
+        tile_y = t // grid_x
+        tile_x = t - tile_y * grid_x
+        ox = (tile_x * 16).astype(jnp.float32)
+        oy = (tile_y * 16).astype(jnp.float32)
+
+        def get_dma(slot, c, off0=off0):
+            off = pl.multiple_of(off0 + c * kchunk, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, kchunk)],
+                chunk_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        def put_dma_h(slot, c, h, off0=off0):
+            off = pl.multiple_of(off0 + c * kchunk + h * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                dchunk_vmem.at[slot, :, pl.ds(h * CHUNK, CHUNK)],
+                dinst_ref.at[:, pl.ds(off, CHUNK)],
+                wsems.at[slot, h],
+            )
+
+        def h_in_seg(c, h, span=span):
+            return (c * kchunk + h * CHUNK) < span
+
+        def put_start(slot, c, put_dma_h=put_dma_h, h_in_seg=h_in_seg):
+            for h in range(NH):
+                @pl.when(h_in_seg(c, h))
+                def _(h=h):
+                    put_dma_h(slot, c, h).start()
+
+        def put_wait(slot, c, put_dma_h=put_dma_h, h_in_seg=h_in_seg):
+            for h in range(NH):
+                @pl.when(h_in_seg(c, h))
+                def _(h=h):
+                    put_dma_h(slot, c, h).wait()
+
+        for w in range(nbuf - 1):
+            @pl.when(w < nchunks)
+            def _(w=w, get_dma=get_dma):
+                get_dma(w % nbuf, w).start()
+
+        def cond(state, nchunks=nchunks):
+            c, T, done, S = state
+            if noexit:
+                return c < nchunks
+            return (c < nchunks) & (jnp.min(done) < 0.5)
+
+        def body(state, get_dma=get_dma, put_start=put_start,
+                 put_wait=put_wait, nchunks=nchunks, start=start,
+                 off0=off0, span=span, px=px, py=py, ox=ox, oy=oy,
+                 d_rgbz=d_rgbz, Q=Q, need_rmw=need_rmw):
+            c, T, done, S = state
+
+            @pl.when(c + (nbuf - 1) < nchunks)
+            def _():
+                get_dma((c + (nbuf - 1)) % nbuf, c + (nbuf - 1)).start()
+
+            get_dma(c % nbuf, c).wait()
+            data_full = chunk_vmem[c % nbuf]
+
+            @pl.when(c >= 2)
+            def _():
+                put_wait(c % 2, c - 2)
+
+            for u in range(nsplit):
+                data = data_full[:, u * ksub:(u + 1) * ksub]
+                q = _chunk_quantities(data, px, py, T, done,
+                                      start - off0 - c * kchunk - u * ksub,
+                                      span - c * kchunk - u * ksub,
+                                      origin=(ox, oy))
+                w, contribute = q["w"], q["contribute"]
+                rgbz = data[C_R:C_R + 4, :]
+                v = jax.lax.dot_general(
+                    d_rgbz, rgbz, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_bwd_precision(),
+                )
+                wv = w * v
+                S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
+                              else _inclusive_scan(wv, jnp.add, 0.0))
+                dalpha = jnp.where(
+                    contribute,
+                    q["T_run"] * v - (Q - S_incl) / q["om"],
+                    0.0,
+                )
+                op = data[C_OP:C_OP + 1, :]
+                dpower = jnp.where(contribute, op * q["Gv"] * dalpha, 0.0)
+                mon_bf = mon.astype(jnp.bfloat16)
+                dp_h, dp_m, dp_l = _split3(dpower)
+
+                def mon_dot(dp_bf):
+                    return jax.lax.dot_general(
+                        mon_bf, dp_bf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                mm = mon_dot(dp_h) + mon_dot(dp_m) + mon_dot(dp_l)
+                s0 = mm[0:1, :]
+                sx, sy = mm[1:2, :], mm[2:3, :]
+                sxx, sxy, syy = mm[3:4, :], mm[4:5, :], mm[5:6, :]
+                mxl = data[C_MX:C_MX + 1, :] - ox
+                myl = data[C_MY:C_MY + 1, :] - oy
+                gx = sx - mxl * s0
+                gy = sy - myl * s0
+                ca = data[C_CA:C_CA + 1, :]
+                cb = data[C_CB:C_CB + 1, :]
+                cc = data[C_CC:C_CC + 1, :]
+                dmx = ca * gx + cb * gy
+                dmy = cb * gx + cc * gy
+                dca = -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s0)
+                dcb = -(sxy - mxl * sy - myl * sx + mxl * myl * s0)
+                dcc = -0.5 * (syy - 2.0 * myl * sy + myl * myl * s0)
+                dop = s0 / jnp.maximum(op, 1e-9)
+                a_h, a_m = _split2(d_rgbz)
+                w_h, w_m = _split2(w)
+
+                def col_dot(a_bf, b_bf):
+                    return jax.lax.dot_general(
+                        a_bf, b_bf, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                dcol = (col_dot(a_h, w_h) + col_dot(a_h, w_m)
+                        + col_dot(a_m, w_h))
+                dchunk_vmem[c % 2, :, pl.ds(u * ksub, ksub)] = (
+                    jnp.concatenate(
+                        [dmx, dmy, dca, dcb, dcc, dop, dcol,
+                         jnp.zeros((NCH - 10, ksub), jnp.float32)],
+                        axis=0,
+                    ))
+                T, done = q["T_out"], q["done_out"]
+                S = S + jnp.sum(wv, axis=1, keepdims=True)
+
+            @pl.when((c == 0) & need_rmw)
+            def _():
+                pltpu.make_async_copy(
+                    dinst_ref.at[
+                        :, pl.ds(pl.multiple_of(off0, CHUNK), CHUNK)],
+                    old_vmem, rmw_sem,
+                ).wait()
+                dchunk_vmem[0, :, pl.ds(0, CHUNK)] = (
+                    dchunk_vmem[0, :, pl.ds(0, CHUNK)] + old_vmem[...]
+                )
+
+            put_start(c % 2, c)
+            return c + 1, T, done, S
+
+        init = (
+            jnp.int32(0),
+            jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32),
+        )
+        c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+        for w in range(nbuf - 1):
+            @pl.when(c_fin + w < nchunks)
+            def _(w=w, get_dma=get_dma, c_fin=c_fin, nchunks=nchunks):
+                get_dma((c_fin + w) % nbuf, c_fin + w).wait()
+
+        @pl.when(c_fin >= 2)
+        def _(put_wait=put_wait, c_fin=c_fin):
+            put_wait(c_fin % 2, c_fin - 2)
+
+        @pl.when(c_fin >= 1)
+        def _(put_wait=put_wait, c_fin=c_fin):
+            put_wait((c_fin - 1) % 2, c_fin - 1)
+
+
+def _smt_config() -> int:
+    """GPT_BLEND_SMT=tpb runs tpb complete per-tile loops SEQUENTIALLY in
+    one program (round 5). A null-body probe measured ~1.55 us of pure
+    per-program pipeline/grid overhead (exp_blendiso nullc: 3.88 ms for
+    2500 trivial programs) — ~35% of the forward. Unlike the rejected MT
+    kernels (per-chunk interleave across tiles, state in VMEM), each
+    tile here keeps its full register-carried while-loop; only the grid
+    dispatch is amortized. 0/1 = off."""
+    return max(1, int(os.environ.get("GPT_BLEND_SMT", "1")))
+
+
+def _fwd_kernel_smt(start_ref, end_ref, inst_ref, out_ref, chunk_vmem,
+                    sems, *, grid_x, tpb, with_tidx: bool = True,
+                    nbuf: int = 2):
+    p = pl.program_id(0)
+    noexit = _noexit_config()
+    nsplit = _split_config()
+    ksub = KCHUNK // nsplit
+    for j in range(tpb):
+        t = p * tpb + j
+        start = start_ref[t]
+        end = end_ref[t]
+        off0 = (start // CHUNK) * CHUNK
+        seg = end - start
+        span = end - off0
+        nchunks = jnp.where(seg > 0, pl.cdiv(span, KCHUNK), 0)
+        px, py = _pixel_coords(t, grid_x)
+        f_tile_y = t // grid_x
+        forig = ((t - f_tile_y * grid_x).astype(jnp.float32) * 16.0,
+                 f_tile_y.astype(jnp.float32) * 16.0)
+
+        def get_dma(slot, c, off0=off0):
+            off = pl.multiple_of(off0 + c * KCHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, KCHUNK)],
+                chunk_vmem.at[slot],
+                sems.at[slot],
+            )
+
+        for w in range(nbuf - 1):
+            @pl.when(w < nchunks)
+            def _(w=w, get_dma=get_dma, nchunks=nchunks):
+                get_dma(w % nbuf, w).start()
+
+        def cond(state, nchunks=nchunks):
+            c, T, done, acc, wmax, bgid = state
+            if noexit:
+                return c < nchunks
+            return (c < nchunks) & (jnp.min(done) < 0.5)
+
+        def body(state, get_dma=get_dma, nchunks=nchunks, start=start,
+                 off0=off0, span=span, px=px, py=py, forig=forig):
+            c, T, done, acc, wmax, bgid = state
+
+            @pl.when(c + (nbuf - 1) < nchunks)
+            def _():
+                get_dma((c + (nbuf - 1)) % nbuf, c + (nbuf - 1)).start()
+
+            get_dma(c % nbuf, c).wait()
+            data_full = chunk_vmem[c % nbuf]
+            for u in range(nsplit):
+                data = data_full[:, u * ksub:(u + 1) * ksub]
+                q = _chunk_quantities(data, px, py, T, done,
+                                      start - off0 - c * KCHUNK - u * ksub,
+                                      span - c * KCHUNK - u * ksub,
+                                      origin=forig)
+                rgbz = data[C_R:C_R + 4, :]
+                w = q["w"]
+                w_h, w_m = _split2(w)
+                c_h, c_m = _split2(rgbz)
+
+                def acc_dot(a_bf, b_bf):
+                    return jax.lax.dot_general(
+                        a_bf, b_bf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                acc = (acc + acc_dot(w_h, c_h) + acc_dot(w_h, c_m)
+                       + acc_dot(w_m, c_h))
+                if with_tidx:
+                    wm_chunk = jnp.max(w, axis=1, keepdims=True)
+                    gid = data[C_GID:C_GID + 1, :]
+                    sel_gid = jnp.max(
+                        jnp.where((w >= wm_chunk) & (w > 0.0), gid, -1.0),
+                        axis=1, keepdims=True,
+                    )
+                    better = wm_chunk > wmax
+                    wmax = jnp.where(better, wm_chunk, wmax)
+                    bgid = jnp.where(better, sel_gid, bgid)
+                T, done = q["T_out"], q["done_out"]
+            return c + 1, T, done, acc, wmax, bgid
+
+        init = (
+            jnp.int32(0),
+            jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 4), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32),
+            jnp.full((PIX, 1), -1.0, jnp.float32),
+        )
+        c_fin, T, done, acc, wmax, bgid = jax.lax.while_loop(
+            cond, body, init)
+
+        for w in range(nbuf - 1):
+            @pl.when(c_fin + w < nchunks)
+            def _(w=w, get_dma=get_dma, c_fin=c_fin, nchunks=nchunks):
+                get_dma((c_fin + w) % nbuf, c_fin + w).wait()
+
+        out_ref[j] = jnp.concatenate(
+            [acc, T, wmax, bgid, jnp.zeros((PIX, 1), jnp.float32)], axis=1
+        )
+
+
 def _pad_inst_T(instT, kchunk=KCHUNK):
     """Pad the [NCH, P] buffer with one extra (benign) chunk so the fixed-
     size DMA at the final partial chunk stays in bounds."""
@@ -1409,6 +1729,32 @@ def _rasterize_fwd_impl(instT, tile_start, tile_end, grid_x, grid_y,
             empty[:, None, None],
             jnp.asarray(_FWD_INIT_ROW, jnp.float32), out,
         )
+    smt = _smt_config()
+    if smt > 1:
+        nbuf = int(os.environ.get("GPT_BLEND_NBUF", "2"))
+        instT = _pad_inst_T(instT)
+        ts, te, Tp = _pad_tiles(tile_start, tile_end, smt)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tp // smt,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (smt, PIX, 8), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, NCH, KCHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_smt, grid_x=grid_x, tpb=smt,
+                              with_tidx=with_tidx, nbuf=nbuf),
+            out_shape=jax.ShapeDtypeStruct((Tp, PIX, 8), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(ts, te, instT)
+        return out[:num_tiles]
     mt = _mt_config()
     if mt is not None:
         tpb, kchunk = mt
@@ -1525,6 +1871,45 @@ def _rasterize_bwd_rule(grid_x, grid_y, interpret, with_tidx, res, g):
         )(wt, woff, tile_start, tile_end, ft, nw, instT, dpix, dinst_init)
         return (dinstT[:, :instT0.shape[1]], None, None)
 
+    smt = _smt_config()
+    if smt > 1:
+        nbuf = int(os.environ.get("GPT_BLEND_NBUF", "2"))
+        ts, te, Tp = _pad_tiles(tile_start, tile_end, smt)
+        dpix_s = jnp.concatenate(
+            [dpix, jnp.zeros((Tp - num_tiles, PIX, 8), jnp.float32)],
+            axis=0,
+        ) if Tp != num_tiles else dpix
+        instT = _pad_inst_T(instT0, KCHUNK_BWD)
+        dinst_init = jnp.zeros_like(instT)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tp // smt,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((smt, PIX, 8), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, NCH, KCHUNK_BWD), jnp.float32),
+                pltpu.VMEM((2, NCH, KCHUNK_BWD), jnp.float32),
+                pltpu.VMEM((NCH, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.SemaphoreType.DMA((2, KCHUNK_BWD // CHUNK)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        dinstT = pl.pallas_call(
+            functools.partial(_bwd_kernel_smt, grid_x=grid_x, tpb=smt,
+                              nbuf=nbuf),
+            out_shape=jax.ShapeDtypeStruct(instT.shape, jnp.float32),
+            grid_spec=grid_spec,
+            input_output_aliases={4: 0},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(ts, te, instT, dpix_s, dinst_init)
+        return (dinstT[:, :-KCHUNK_BWD], None, None)
     mt = _mt_config()
     if mt is not None:
         tpb, kchunk = mt
