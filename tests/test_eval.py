@@ -233,6 +233,58 @@ class TestLPIPSExport:
         assert lv > 0 and la > 0 and np.isfinite(lv) and np.isfinite(la)
 
 
+class TestLPIPSGolden:
+    def test_deterministic_weights_golden(self, tmp_path, monkeypatch):
+        """Regression-lock the full GPT_LPIPS_WEIGHTS path (VERDICT r4
+        #8): seeded-deterministic weights (full VGG16/Alex shapes, too
+        large to commit — ~69 MB — so rebuilt from the fixed seed),
+        fixed inputs, and COMMITTED golden scores. Any change to the npz
+        layout, conv stacks, taps, normalization, or lin heads moves
+        these numbers. Goldens computed on CPU (2026-08-21); rtol covers
+        cross-platform conv reassociation."""
+        from gaussianprediction_tpu.eval import lpips as L
+
+        rng = np.random.default_rng(20260820)
+        params = {}
+        cin = 3
+        vgg_out = [c for c in L.VGG_CFG if c != "M"]
+        for i, cout in enumerate(vgg_out):
+            params[f"vgg/conv{i}/w"] = rng.normal(
+                scale=0.05, size=(3, 3, cin, cout)).astype(np.float32)
+            params[f"vgg/conv{i}/b"] = rng.normal(
+                scale=0.05, size=(cout,)).astype(np.float32)
+            cin = cout
+        for k, c in enumerate([vgg_out[t] for t in L.VGG_TAPS]):
+            params[f"vgg/lin{k}"] = np.abs(rng.normal(
+                scale=0.1, size=(c,)).astype(np.float32))
+        cin = 3
+        for k_i, (cout, k, s, p) in enumerate(L.ALEX_CFG):
+            params[f"alex/conv{k_i}/w"] = rng.normal(
+                scale=0.05, size=(k, k, cin, cout)).astype(np.float32)
+            params[f"alex/conv{k_i}/b"] = rng.normal(
+                scale=0.05, size=(cout,)).astype(np.float32)
+            cin = cout
+        for k_i, (cout, *_r) in enumerate(L.ALEX_CFG):
+            params[f"alex/lin{k_i}"] = np.abs(rng.normal(
+                scale=0.1, size=(cout,)).astype(np.float32))
+        path = str(tmp_path / "lpips_det.npz")
+        np.savez(path, **params)
+        monkeypatch.setenv("GPT_LPIPS_WEIGHTS", path)
+        fn = L.try_load_lpips()
+        assert fn is not None
+        a = (np.indices((64, 80)).sum(0)[..., None] % 17 / 16.0
+             * np.array([1.0, 0.7, 0.4])).astype(np.float32)
+        b = np.clip(
+            a + 0.15 * np.sin(np.arange(64 * 80 * 3).reshape(64, 80, 3)
+                              * 0.37), 0, 1
+        ).astype(np.float32)
+        lv, la = fn(a, b)
+        lv0, la0 = fn(a, a)
+        assert lv0 == 0.0 and la0 == 0.0
+        np.testing.assert_allclose(lv, 0.02952139638364315, rtol=2e-3)
+        np.testing.assert_allclose(la, 0.019956454634666443, rtol=2e-3)
+
+
 class TestVisualize:
     def test_pca_weights_trajectory_plys(self, tmp_path):
         from gaussianprediction_tpu.eval import visualize as V
