@@ -125,7 +125,33 @@ def _bwd_precision():
     return {
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
+        "split2": jax.lax.Precision.DEFAULT,  # handled by _v_dot
     }[os.environ.get("GPT_BWD_PRECISION", "highest").lower()]
+
+
+def _v_dot(d_rgbz, rgbz):
+    """v_{p,i} = c_i . d_rgb_p + z_i * d_z_p  [PIX, K].
+
+    GPT_BWD_PRECISION: highest = 6 MXU passes (2^-24); split2 = manual
+    bf16 2x2 split, 3 passes (~2^-16 — between HIGHEST and DEFAULT's
+    single-pass 4e-3, at half HIGHEST's MXU occupancy); default = 1."""
+    mode = os.environ.get("GPT_BWD_PRECISION", "highest").lower()
+    if mode == "split2":
+        a_h, a_m = _split2(d_rgbz)
+        b_h, b_m = _split2(rgbz)
+
+        def dot(a_bf, b_bf):
+            return jax.lax.dot_general(
+                a_bf, b_bf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return dot(a_h, b_h) + dot(a_h, b_m) + dot(a_m, b_h)
+    return jax.lax.dot_general(
+        d_rgbz, rgbz, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_bwd_precision(),
+    )
 
 
 def _split2(x):
@@ -544,11 +570,7 @@ def _bwd_kernel(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
             # HIGHEST: the v5e MXU truncates f32 dot operands to bf16 by
             # default; these two dots feed position/covariance gradients
             # (~3e-4 relative error measured at default precision)
-            v = jax.lax.dot_general(
-                d_rgbz, rgbz, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_bwd_precision(),
-            )
+            v = _v_dot(d_rgbz, rgbz)
             wv = w * v
             S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
                       else _inclusive_scan(wv, jnp.add, 0.0))
@@ -766,11 +788,7 @@ def _bwd_kernel_smt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
                                       origin=(ox, oy))
                 w, contribute = q["w"], q["contribute"]
                 rgbz = data[C_R:C_R + 4, :]
-                v = jax.lax.dot_general(
-                    d_rgbz, rgbz, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_bwd_precision(),
-                )
+                v = _v_dot(d_rgbz, rgbz)
                 wv = w * v
                 S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
                               else _inclusive_scan(wv, jnp.add, 0.0))
@@ -1252,11 +1270,7 @@ def _bwd_kernel_mt(start_ref, end_ref, inst_ref, dpix_ref, _dinst_in_ref,
                 d_rgbz = dpix[:, D_R:D_R + 4]
                 Q = dpix[:, D_Q:D_Q + 1]
                 rgbz = data[C_R:C_R + 4, :]
-                v = jax.lax.dot_general(
-                    d_rgbz, rgbz, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_bwd_precision(),
-                )
+                v = _v_dot(d_rgbz, rgbz)
                 wv = w * v
                 S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
                       else _inclusive_scan(wv, jnp.add, 0.0))
@@ -1563,11 +1577,7 @@ def _bwd_kernel_flat(wt_ref, woff_ref, ts_ref, te_ref, ft_ref, nw_ref,
         d_rgbz = dpix[:, D_R:D_R + 4]
         Q = dpix[:, D_Q:D_Q + 1]
         rgbz = data[C_R:C_R + 4, :]
-        v = jax.lax.dot_general(
-            d_rgbz, rgbz, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_bwd_precision(),
-        )
+        v = _v_dot(d_rgbz, rgbz)
         wv = w * v
         S_incl = S + (_mxu_cumsum(wv) if _mxuscan_config()
                       else _inclusive_scan(wv, jnp.add, 0.0))
