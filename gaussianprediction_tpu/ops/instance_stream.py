@@ -167,7 +167,8 @@ def _capped_rect(tmin, tmax, center_px, max_tiles: int):
 
 
 def probe_slot_need(xyz, scaling, rotation, opacity, cam, width: int,
-                    height: int, alive=None, max_tiles: int = 1024):
+                    height: int, alive=None, max_tiles: int = 1024,
+                    tile_band=None):
     """Projection-only instance-slot count for ONE camera: the number of
     stream slots build_instances would emit (capped exact-support rects,
     plus the >= 1 sentinel singleton every Gaussian owns). The single
@@ -188,6 +189,17 @@ def probe_slot_need(xyz, scaling, rotation, opacity, cam, width: int,
     x0, y0, rw, rh = _capped_rect(
         proj.tiles_min, proj.tiles_max, proj.mean2d, max_tiles
     )
+    if tile_band is not None:
+        # band-sharded slot need (SURVEY §5.7): clip rect rows to the
+        # band's tile-row interval — what a tile-band device actually
+        # streams. The >= 1 singleton per Gaussian stays (the expand
+        # kernel's candidate-window invariant requires it), which puts an
+        # N-slot floor under every band's capacity.
+        ty0, n_band = tile_band
+        ty0 = jnp.asarray(ty0, jnp.int32)
+        y1 = jnp.clip(y0, ty0, ty0 + n_band)
+        y2 = jnp.clip(y0 + rh, ty0, ty0 + n_band)
+        rh = jnp.maximum(y2 - y1, 0)
     rw = jnp.where(proj.visible, rw, 0)
     rh = jnp.where(proj.visible, rh, 0)
     return jnp.sum(jnp.maximum(rw * rh, 1))

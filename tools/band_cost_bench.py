@@ -80,12 +80,30 @@ def main():
     print(f"probe: {n_probe} instances, full-frame mult {mult_full:.2f}",
           flush=True)
 
+    def probe_band(xyz, scal, rot, ty0, band):
+        return probe_slot_need(xyz, scal, rot, op, cam, W, H,
+                               tile_band=(ty0, band))
+
+    probe_band_j = jax.jit(probe_band, static_argnums=(4,))
+
     results = []
     t_full = None
     for n_dev in [int(x) for x in args.bands.split(",")]:
         band = -(-grid_y // n_dev)
-        mult = (max(2.0, mult_full * (band / grid_y) * 2.0)
-                if n_dev > 1 else mult_full)
+        if n_dev == 1:
+            mult = mult_full
+        else:
+            # per-band capacity probe (VERDICT r4 #4): size the shard's
+            # instance buffer from the MAX band's actual clipped-rect
+            # need (uniform across devices — shard_map compiles one
+            # program), not a slack-scaled full-frame fraction. The >= 1
+            # singleton slot per Gaussian keeps an N-row floor.
+            needs = [int(probe_band_j(xyz, scal, rot,
+                                      jnp.int32(i * band), band))
+                     for i in range(n_dev)]
+            mult = max(needs) * 1.2 / N
+            print(f"  bands={n_dev}: per-band needs {needs} -> "
+                  f"mult {mult:.2f}", flush=True)
         tb = None if n_dev == 1 else (jnp.int32(0), band)
 
         def loss(xyz, scal, rot, op, shs):

@@ -111,16 +111,30 @@ def main():
         ),
         jax.random.PRNGKey(1),
     ))
+    # brick-encoder state (round 5): overlapping-brick hash tables — the
+    # TPU-native fast hash encoder (ops/hashgrid.py brickgrid_encode_fast)
+    cfg.model.weight_encoder = "brick"
+    host["brick"] = to_host(jax.jit(
+        lambda s, k: set_super_keypoints(s, cfg, k)
+    )(
+        G.create_from_pcd(
+            jax.random.PRNGKey(0), cfg, g["xyz"],
+            np.random.default_rng(0).uniform(
+                0, 1, (args.n, 3)).astype(np.float32),
+        ),
+        jax.random.PRNGKey(1),
+    ))
     cfg.model.weight_encoder = "hashgrid"
 
     results = {}
     runs = [("stage0", 0, "hashgrid"), ("stage1", 1, "hashgrid"),
             ("stage2_hashgrid", 2, "hashgrid"),
-            ("stage2_fourier", 2, "fourier"), ("stage3", 3, "hashgrid")]
+            ("stage2_fourier", 2, "fourier"),
+            ("stage2_brick", 2, "brick"), ("stage3", 3, "hashgrid")]
     for name, stage, encoder in runs:
         cfg.model.weight_encoder = encoder
-        if encoder == "fourier":
-            src = host["fourier"]
+        if encoder in ("fourier", "brick"):
+            src = host[encoder]
         else:
             src = host["kpts"] if stage >= 2 else host["base"]
         st = jax.tree.map(jnp.asarray, src)
