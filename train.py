@@ -52,10 +52,13 @@ def build_parser():
                    default=None)
     p.add_argument("--test_iterations", nargs="+", type=int, default=None)
     p.add_argument("--weight_encoder", default=None,
-                   choices=("hashgrid", "fourier"),
+                   choices=("hashgrid", "fourier", "brick"),
                    help="stage-2/3 blend-weight encoder: 'hashgrid' is the "
-                        "tcnn-parity default; 'fourier' is the MXU-native "
-                        "fast path (identical convergence in the synthetic "
+                        "tcnn-parity default; 'brick' is the overlapping-"
+                        "brick hash grid (one row gather per point-level, "
+                        "~8x fewer gather rows); 'fourier' is the "
+                        "MXU-native fast path (identical convergence in "
+                        "the synthetic "
                         "A/B, ~2.7x faster stage-2 steps on TPU)")
     p.add_argument("--distill_init_steps", type=int, default=None,
                    help=">0: pre-fit the blend-weight model to the stage-1 "
