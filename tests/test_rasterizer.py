@@ -79,6 +79,54 @@ class TestTightRects:
             interpret=True, capacity_multiplier=caps, tight_rects=tight,
         )
 
+    def test_ellipse_cull_exact(self, monkeypatch):
+        """GPT_ELLIPSE_CULL drops only never-contributing (instance,
+        tile) pairs: identical image/depth/gradients to the un-culled
+        stream, with shorter tile segments (round 5)."""
+        g, cam = scene(n=150, seed=5)
+
+        def run():
+            op = jnp.asarray(_sigmoid(g["opacity_logit"]).reshape(-1),
+                             jnp.float32)
+
+            def loss(xyz, scal, op_):
+                out = R.render(
+                    xyz, scal, jnp.asarray(g["rotation"]), op_, None, cam,
+                    W, H, jnp.zeros(3),
+                    colors_precomp=jnp.asarray(g["colors"]),
+                    interpret=True, capacity_multiplier=24,
+                )
+                return jnp.mean(
+                    out["render"] * out["depth"][..., None]
+                ), out
+
+            (l, out), gr = jax.value_and_grad(
+                loss, argnums=(0, 1, 2), has_aux=True
+            )(jnp.asarray(g["xyz"]),
+              jnp.exp(jnp.asarray(g["log_scales"])), op)
+            return out, gr
+
+        monkeypatch.setenv("GPT_ELLIPSE_CULL", "0")
+        out0, gr0 = run()
+        monkeypatch.setenv("GPT_ELLIPSE_CULL", "1")
+        out1, gr1 = run()
+        # ulp-level, not bit-level: removing zero-alpha lanes shifts the
+        # chunk partition, so the transmittance scan associates its
+        # products differently (om factors are exactly 1.0 for culled
+        # lanes — the VALUES are identical, the rounding order is not)
+        np.testing.assert_allclose(
+            np.asarray(out0["render"]), np.asarray(out1["render"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out0["depth"]), np.asarray(out1["depth"]),
+            atol=1e-5,
+        )
+        for a, b in zip(gr0, gr1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+            )
+
     def test_same_image_fewer_instances(self):
         g, cam = scene(n=150, seed=3)
         # mix in low-opacity gaussians (post-opacity-reset regime)
